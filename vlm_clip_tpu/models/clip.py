@@ -1,0 +1,201 @@
+"""From-scratch CLIP dual towers in functional JAX.
+
+Numerically matches HF ``CLIPModel`` (reference backbone, model_m.py:6,
+model_t.py:44-46, model_v.py:159) to fp32 tolerance when run with the fp32
+dtype policy and HF-converted weights (see convert/hf.py; validated by
+tests/test_parity_torch.py):
+
+- vision tower: patchify->embed, class token, learned positions,
+  pre-LN, N pre-norm encoder layers, pooled = post_LN(x[:, 0]);
+  ``last_hidden_state`` is returned **un**-post-layernormed (HF semantics,
+  needed by the sequence adapters of pipeline M, model_m.py:85-101);
+- text tower: token+position embeddings, causal+padding mask, final LN,
+  pooled at argmax(input_ids) (the EOT token has the highest CLIP vocab id —
+  HF's eos_token_id==2 compatibility path);
+- projections are bias-free linears; ``logit_scale`` is a learned scalar.
+
+TPU-first choices: patch embedding is extract-patches + one MXU matmul
+(not a conv); encoder layers are stacked and scanned (single-trace compile,
+optional per-layer remat); softmax/LN in fp32, matmuls bf16 with fp32
+accumulation under the mixed policy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vlm_clip_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+from vlm_clip_tpu.core.dtypes import DTypePolicy, FP32
+from vlm_clip_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+
+class TowerOutput(NamedTuple):
+    last_hidden_state: jnp.ndarray  # [B, T, H]
+    pooled: jnp.ndarray             # [B, H]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_vision(rng, cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 4)
+    scale = cfg.hidden_size ** -0.5
+    return {
+        "class_embedding": (jax.random.normal(ks[0], (cfg.hidden_size,))
+                            * scale).astype(dtype),
+        # patch kernel kept in [P, P, 3, H]; flattened to one matmul at apply
+        "patch_embedding": {
+            "kernel": (jax.random.normal(
+                ks[1], (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size))
+                * scale).astype(dtype)},
+        "position_embedding": (jax.random.normal(
+            ks[2], (cfg.seq_len, cfg.hidden_size)) * scale).astype(dtype),
+        "pre_layernorm": L.init_layernorm(cfg.hidden_size, dtype),
+        "post_layernorm": L.init_layernorm(cfg.hidden_size, dtype),
+        "layers": L.init_encoder_stack(
+            ks[3], cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
+            cfg.num_heads, dtype),
+    }
+
+
+def init_text(rng, cfg: TextConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        "token_embedding": (jax.random.normal(
+            ks[0], (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
+        "position_embedding": (jax.random.normal(
+            ks[1], (cfg.max_positions, cfg.hidden_size)) * 0.01).astype(dtype),
+        "final_layernorm": L.init_layernorm(cfg.hidden_size, dtype),
+        "layers": L.init_encoder_stack(
+            ks[2], cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
+            cfg.num_heads, dtype),
+    }
+
+
+def init_clip(rng, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
+    kv, kt, kvp, ktp = jax.random.split(rng, 4)
+    return {
+        "vision": init_vision(kv, cfg.vision, dtype),
+        "text": init_text(kt, cfg.text, dtype),
+        "visual_projection": {
+            "kernel": (jax.random.normal(
+                kvp, (cfg.vision.hidden_size, cfg.projection_dim))
+                * cfg.vision.hidden_size ** -0.5).astype(dtype)},
+        "text_projection": {
+            "kernel": (jax.random.normal(
+                ktp, (cfg.text.hidden_size, cfg.projection_dim))
+                * cfg.text.hidden_size ** -0.5).astype(dtype)},
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+# ---------------------------------------------------------------------------
+
+def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, 3, S, S] (NCHW, HF layout) -> [B, N, patch*patch*3].
+
+    Flattening order is (ph, pw, c) to match the [P, P, 3, H] kernel layout
+    (torch Conv2d weights are converted with permute(2, 3, 1, 0)).
+    """
+    B, C, H, W = pixel_values.shape
+    gh, gw = H // patch, W // patch
+    x = pixel_values.reshape(B, C, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 3, 5, 1)  # [B, gh, gw, ph, pw, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def vision_tower(p: Params, pixel_values: jnp.ndarray, cfg: VisionConfig,
+                 policy: DTypePolicy = FP32, remat: bool = False) -> TowerOutput:
+    B = pixel_values.shape[0]
+    x = patchify(pixel_values.astype(policy.compute_dtype), cfg.patch_size)
+    kernel = p["patch_embedding"]["kernel"].reshape(-1, cfg.hidden_size)
+    x = jnp.dot(x, kernel.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(policy.compute_dtype)
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(policy.compute_dtype),
+        (B, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["position_embedding"].astype(policy.compute_dtype)[None]
+    x = L.layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
+    x = L.encoder_stack(p["layers"], x, cfg.num_heads, cfg.layer_norm_eps,
+                        cfg.hidden_act, mask=None, remat=remat)
+    pooled = L.layer_norm(p["post_layernorm"], x[:, 0, :], cfg.layer_norm_eps)
+    return TowerOutput(last_hidden_state=x, pooled=pooled)
+
+
+# ---------------------------------------------------------------------------
+# text tower
+# ---------------------------------------------------------------------------
+
+def _text_mask(attention_mask: Optional[jnp.ndarray], T: int) -> jnp.ndarray:
+    """Additive [B|1, 1, T, T] mask: causal plus optional key padding."""
+    causal = jnp.triu(jnp.full((T, T), L.NEG_INF, jnp.float32), k=1)
+    mask = causal[None, None]
+    if attention_mask is not None:
+        pad = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :]
+        mask = mask + pad * L.NEG_INF
+    return mask
+
+
+def text_tower(p: Params, input_ids: jnp.ndarray,
+               attention_mask: Optional[jnp.ndarray], cfg: TextConfig,
+               policy: DTypePolicy = FP32, remat: bool = False) -> TowerOutput:
+    B, T = input_ids.shape
+    x = p["token_embedding"][input_ids].astype(policy.compute_dtype)
+    x = x + p["position_embedding"][:T].astype(policy.compute_dtype)[None]
+    mask = _text_mask(attention_mask, T)
+    x = L.encoder_stack(p["layers"], x, cfg.num_heads, cfg.layer_norm_eps,
+                        cfg.hidden_act, mask=mask, remat=remat)
+    x = L.layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
+    if cfg.pool_by_argmax_ids:
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                             axis=-1)
+    pooled = x[jnp.arange(B), eos_pos]
+    return TowerOutput(last_hidden_state=x, pooled=pooled)
+
+
+# ---------------------------------------------------------------------------
+# projected features (HF get_image_features / get_text_features equivalents)
+# ---------------------------------------------------------------------------
+
+def project(kernel_holder: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, kernel_holder["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def get_image_features(params: Params, pixel_values: jnp.ndarray,
+                       cfg: CLIPConfig, policy: DTypePolicy = FP32,
+                       remat: bool = False) -> jnp.ndarray:
+    out = vision_tower(params["vision"], pixel_values, cfg.vision, policy,
+                       remat)
+    return project(params["visual_projection"], out.pooled)
+
+
+def get_text_features(params: Params, input_ids: jnp.ndarray,
+                      attention_mask: Optional[jnp.ndarray],
+                      cfg: CLIPConfig, policy: DTypePolicy = FP32,
+                      remat: bool = False) -> jnp.ndarray:
+    out = text_tower(params["text"], input_ids, attention_mask, cfg.text,
+                     policy, remat)
+    return project(params["text_projection"], out.pooled)
+
+
+def clip_logits(params: Params, image_features: jnp.ndarray,
+                text_features: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(logits_per_text, logits_per_image) from unnormalized features."""
+    img = L.l2_normalize(image_features).astype(jnp.float32)
+    txt = L.l2_normalize(text_features).astype(jnp.float32)
+    scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    logits_per_text = scale * txt @ img.T
+    return logits_per_text, logits_per_text.T

@@ -1,0 +1,179 @@
+"""Functional NN primitives on parameter pytrees.
+
+Pure functions over nested-dict params — no module framework. Matmuls use
+``preferred_element_type=float32`` so the MXU accumulates in fp32 even when
+activations are bf16; LayerNorm statistics and softmax run fp32.
+
+Parameter conventions:
+- linear kernels are ``[in, out]`` (JAX convention; transposed from torch);
+- layernorm params are ``{'scale', 'bias'}``;
+- encoder layers are stacked on a leading layer axis and scanned.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlm_clip_tpu.core.dtypes import DTypePolicy
+
+Params = Dict[str, Any]
+
+NEG_INF = -3.4028235e38  # finfo(f32).min, matches HF mask fill
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def init_linear(rng, in_dim: int, out_dim: int, std: Optional[float] = None,
+                dtype=jnp.float32) -> Params:
+    if std is None:
+        std = in_dim ** -0.5
+    kr, _ = jax.random.split(rng)
+    return {
+        "kernel": (jax.random.normal(kr, (in_dim, out_dim)) * std).astype(dtype),
+        "bias": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def init_layernorm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # CLIP's activation: x * sigmoid(1.702 x)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {"quick_gelu": quick_gelu, "gelu": gelu_exact,
+               "relu": jax.nn.relu}
+
+
+def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
+        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Multi-head attention. q_in [B,Tq,H], kv_in [B,Tk,H].
+
+    ``mask`` is an additive bias broadcastable to [B, heads, Tq, Tk]
+    (0 where attended, NEG_INF where blocked). Softmax runs fp32.
+    """
+    B, Tq, H = q_in.shape
+    hd = H // num_heads
+    scale = hd ** -0.5
+    q = linear(p["q"], q_in).reshape(B, Tq, num_heads, hd)
+    k = linear(p["k"], kv_in).reshape(B, -1, num_heads, hd)
+    v = linear(p["v"], kv_in).reshape(B, -1, num_heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q_in.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q_in.dtype)
+    out = out.reshape(B, Tq, H)
+    return linear(p["out"], out)
+
+
+def init_mha(rng, dim: int, num_heads: int, kv_dim: Optional[int] = None,
+             dtype=jnp.float32) -> Params:
+    del num_heads
+    kv_dim = kv_dim or dim
+    ks = jax.random.split(rng, 4)
+    return {
+        "q": init_linear(ks[0], dim, dim, dtype=dtype),
+        "k": init_linear(ks[1], kv_dim, dim, dtype=dtype),
+        "v": init_linear(ks[2], kv_dim, dim, dtype=dtype),
+        "out": init_linear(ks[3], dim, dim, dtype=dtype),
+    }
+
+
+def mlp(p: Params, x: jnp.ndarray, act: str = "quick_gelu") -> jnp.ndarray:
+    h = linear(p["fc1"], x)
+    h = ACTIVATIONS[act](h)
+    return linear(p["fc2"], h)
+
+
+def init_mlp(rng, dim: int, hidden: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {"fc1": init_linear(k1, dim, hidden, dtype=dtype),
+            "fc2": init_linear(k2, hidden, dim, dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# pre-norm transformer encoder layer (CLIP style) + scanned stack
+# ---------------------------------------------------------------------------
+
+def encoder_layer(p: Params, x: jnp.ndarray, num_heads: int, eps: float,
+                  act: str, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    h = layer_norm(p["ln1"], x, eps)
+    x = x + mha(p["attn"], h, h, num_heads, mask)
+    x = x + mlp(p["mlp"], layer_norm(p["ln2"], x, eps), act)
+    return x
+
+
+def init_encoder_layer(rng, dim: int, hidden: int, num_heads: int,
+                       dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "attn": init_mha(k1, dim, num_heads, dtype=dtype),
+        "mlp": init_mlp(k2, dim, hidden, dtype=dtype),
+        "ln1": init_layernorm(dim, dtype),
+        "ln2": init_layernorm(dim, dtype),
+    }
+
+
+def init_encoder_stack(rng, num_layers: int, dim: int, hidden: int,
+                       num_heads: int, dtype=jnp.float32) -> Params:
+    """Stacked layer params with a leading layer axis (for lax.scan)."""
+    keys = jax.random.split(rng, num_layers)
+    per_layer = [init_encoder_layer(k, dim, hidden, num_heads, dtype)
+                 for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
+def encoder_stack(p: Params, x: jnp.ndarray, num_heads: int, eps: float,
+                  act: str, mask: Optional[jnp.ndarray] = None,
+                  remat: bool = False) -> jnp.ndarray:
+    """Run the scanned encoder. ``p`` holds stacked per-layer params."""
+
+    def body(h, lp):
+        return encoder_layer(lp, h, num_heads, eps, act, mask), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, p)
+    return x
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 0.0) -> jnp.ndarray:
+    """L2 normalization in fp32 (matches torch `x / x.norm(dim=-1)`)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x32, axis=axis, keepdims=True)
+    return (x32 / (norm + eps)).astype(x.dtype)

@@ -1,0 +1,92 @@
+"""Parameter partition rules (tensor parallelism).
+
+Maps parameter-tree paths to `PartitionSpec`s. Encoder layers are stacked on
+a leading layer axis (scanned at apply time), so every per-layer rule below
+has a leading ``None`` for the layer dimension.
+
+TP layout (Megatron-style, collectives ride ICI):
+- qkv projections: shard the *output* (head) dim over ``model``;
+- attention out-proj and MLP fc2: shard the *input* dim over ``model``
+  (XLA inserts the psum/reduce_scatter);
+- MLP fc1: shard the output dim;
+- embeddings, layernorms, projections, logit_scale: replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
+
+# (regex over '/'-joined path) -> PartitionSpec. First match wins.
+# Stacked per-layer params carry a leading layer axis.
+CLIP_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*/layers/attn/(q|k|v)/kernel$", P(None, None, MODEL_AXIS)),
+    (r".*/layers/attn/(q|k|v)/bias$", P(None, MODEL_AXIS)),
+    (r".*/layers/attn/out/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*/layers/attn/out/bias$", P(None)),
+    (r".*/layers/mlp/fc1/kernel$", P(None, None, MODEL_AXIS)),
+    (r".*/layers/mlp/fc1/bias$", P(None, MODEL_AXIS)),
+    (r".*/layers/mlp/fc2/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*/layers/mlp/fc2/bias$", P(None)),
+    (r".*", P()),  # everything else replicated
+)
+
+
+def clip_param_rules() -> Tuple[Tuple[str, P], ...]:
+    return CLIP_PARAM_RULES
+
+
+def spec_for_path(path: str,
+                  rules: Tuple[Tuple[str, P], ...] = CLIP_PARAM_RULES) -> P:
+    for pat, spec in rules:
+        if re.match(pat, path):
+            return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if isinstance(k, jax.tree_util.DictKey):
+            parts.append(str(k.key))
+        elif isinstance(k, jax.tree_util.SequenceKey):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def partition_specs(params: Any,
+                    rules: Tuple[Tuple[str, P], ...] = CLIP_PARAM_RULES):
+    """Pytree of PartitionSpecs mirroring ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: spec_for_path(_path_str(kp), rules), params)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Tuple[Tuple[str, P], ...] = CLIP_PARAM_RULES):
+    """Device-put ``params`` with the rule-derived NamedShardings.
+
+    Specs whose sharded dim does not divide the actual array dim fall back
+    to replication (e.g. head counts not divisible by the model axis).
+    """
+    def _place(kp, x):
+        spec = spec_for_path(_path_str(kp), rules)
+        # validate divisibility; fall back to replicated on mismatch
+        ok = True
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else 1
+            if dim >= x.ndim or x.shape[dim] % size != 0:
+                ok = False
+                break
+        sh = NamedSharding(mesh, spec if ok else P())
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map_with_path(_place, params)
