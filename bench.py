@@ -1,0 +1,83 @@
+"""Headline benchmark: image-text pairs/sec/chip, ViT-B/16 fwd + adapter bwd.
+
+The BASELINE.json north-star metric: pipeline-M contrastive training
+(frozen ViT-B/16 CLIP towers forward in bf16 + sequence/cross-modal
+adapter backward + Adam update) on the real TPU chip.
+
+Baseline note: the reference publishes no numbers (BASELINE.md). It runs
+fp32 eager PyTorch with no autocast (reference trainer.py:75-99), so the
+comparable A100 figure is fp32 eager throughput: ViT-B/16+text fwd is
+~41 GFLOPs/pair; A100 fp32 (19.5 TFLOPs peak, ~50% eager efficiency)
+gives ~240 pairs/s, adapters/optimizer overhead brings observed eager
+fp32 CLIP fine-tune rates to the 200-300 pairs/s band. We use 250
+pairs/s as the documented A100 estimate; vs_baseline = value / 250.
+(The >=5x target is therefore vs_baseline >= 5.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+A100_BASELINE_PAIRS_PER_S = 250.0  # fp32 eager torch estimate (see above)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vlm_clip_tpu.core.config import AdapterConfig, clip_preset
+    from vlm_clip_tpu.core.dtypes import BF16
+    from vlm_clip_tpu.models import model_m as M
+    from vlm_clip_tpu.models.clip import init_clip
+    from vlm_clip_tpu.train.steps import init_train_state, make_m_train_step
+
+    cfg = clip_preset("vit-base-patch16")
+    acfg = AdapterConfig(text_adapter_size=256, vision_adapter_size=256,
+                         shared_adapter_layers=2)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps = 10
+
+    rng = jax.random.PRNGKey(0)
+    tx = optax.adam(3e-4)
+    state = init_train_state(rng, cfg, acfg, tx, freeze_clip=True)
+    step = make_m_train_step(cfg, acfg, tx, BF16, freeze_clip=True)
+
+    kb = jax.random.PRNGKey(1)
+    batch = {
+        "input_ids": jax.random.randint(kb, (B, 77), 1,
+                                        cfg.text.vocab_size),
+        "attention_mask": jnp.ones((B, 77), jnp.int32),
+        "pixel_values": jax.random.normal(
+            kb, (B, 3, cfg.vision.image_size, cfg.vision.image_size),
+            jnp.bfloat16),
+    }
+    batch = jax.device_put(batch)
+
+    # warmup / compile. NB: sync via float() fetch — block_until_ready is
+    # unreliable through the axon TPU tunnel on this image.
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(metrics.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    float(metrics.loss)  # last loss depends on every prior step's params
+    dt = time.perf_counter() - t0
+
+    pairs_per_s = B * steps / dt
+    print(json.dumps({
+        "metric": "image-text pairs/sec/chip (ViT-B/16 fwd + adapter bwd)",
+        "value": round(pairs_per_s, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_s / A100_BASELINE_PAIRS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

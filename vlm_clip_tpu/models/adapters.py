@@ -1,0 +1,208 @@
+"""The adapter zoo — every trainable-module family in the reference.
+
+All adapters are functional (init_* -> params pytree, apply function). The
+fused Pallas implementations of the hot paths live in ops/; these jnp
+versions are the semantic definition, the Pallas kernels are tested against
+them.
+
+Families (reference contracts, cited file:line into /root/reference):
+
+1. Feature bottleneck adapter (pipelines T and V):
+   ``fc2(relu(fc1(x)))`` on pooled/projected features; V adds Dropout(0.1)
+   between relu and fc2 (model_t.py:13-33, model_v.py:18-39). Used with a
+   residual ratio blend ``r*adapter(x) + (1-r)*x`` then L2 renorm
+   (model_t.py:163-169, model_v.py:278-285).
+
+2. Sequence (Houlsby) adapter (pipeline M):
+   ``LN(x + up(gelu(down(x))))`` over the full [B, T, H] last_hidden_state
+   (adapter/clip_adapter.py:4-23, 131-150).
+
+3. Cross-modal attention adapter (pipeline M, SharedMHSAttentionAdapter,
+   adapter/clip_adapter.py:69-128): project text (512->H) and image
+   (768->H); pre-norm MHA with text as query, image as key/value; residual
+   is the *normed* projected text (the reference overwrites hidden_states
+   with norm2 output before adding — a quirk we reproduce); then pre-norm
+   4xH GELU MLP with residual. Stacked x shared_adapter_layers
+   (model_m.py:54-61).
+
+4. peclip alt set (adapter/peclip.py:6-48, imported nowhere in the
+   reference but part of the public surface): TextualAdapter (bottleneck +
+   GELU + plain residual, no LN), ContextAdapter / SharedAdapter
+   (self-MHA + LN(attn + x)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vlm_clip_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# 1. feature bottleneck adapter (T/V)
+# ---------------------------------------------------------------------------
+
+def init_feature_adapter(rng, dim: int, bottleneck: int,
+                         dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    # kaiming-uniform-flavored init like torch nn.Linear defaults
+    b1 = (1.0 / dim) ** 0.5
+    b2 = (1.0 / bottleneck) ** 0.5
+    return {
+        "fc1": {"kernel": jax.random.uniform(k1, (dim, bottleneck), dtype,
+                                             -b1, b1),
+                "bias": jnp.zeros((bottleneck,), dtype)},
+        "fc2": {"kernel": jax.random.uniform(k2, (bottleneck, dim), dtype,
+                                             -b2, b2),
+                "bias": jnp.zeros((dim,), dtype)},
+    }
+
+
+def feature_adapter(p: Params, x: jnp.ndarray, *, dropout: float = 0.0,
+                    rng: Optional[jax.Array] = None,
+                    deterministic: bool = True) -> jnp.ndarray:
+    """fc2(dropout(relu(fc1(x)))). Dropout active only when not deterministic."""
+    h = jax.nn.relu(L.linear(p["fc1"], x))
+    if dropout > 0.0 and not deterministic:
+        if rng is None:
+            raise ValueError("dropout requires an rng key")
+        keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
+        h = jnp.where(keep, h / (1.0 - dropout), 0.0).astype(h.dtype)
+    return L.linear(p["fc2"], h)
+
+
+def residual_blend(adapted: jnp.ndarray, original: jnp.ndarray,
+                   ratio: float) -> jnp.ndarray:
+    """r*adapted + (1-r)*original, then L2 renorm (model_t.py:166-169)."""
+    mixed = ratio * adapted.astype(jnp.float32) \
+        + (1.0 - ratio) * original.astype(jnp.float32)
+    return L.l2_normalize(mixed).astype(original.dtype)
+
+
+def adapt_features(p: Params, x: jnp.ndarray, ratio: float, *,
+                   dropout: float = 0.0, rng: Optional[jax.Array] = None,
+                   deterministic: bool = True) -> jnp.ndarray:
+    """The full T/V feature-branch op: adapter -> ratio blend -> renorm."""
+    return residual_blend(
+        feature_adapter(p, x, dropout=dropout, rng=rng,
+                        deterministic=deterministic),
+        x, ratio)
+
+
+# ---------------------------------------------------------------------------
+# 2. sequence (Houlsby) adapter (M)
+# ---------------------------------------------------------------------------
+
+def init_seq_adapter(rng, hidden: int, adapter_size: int,
+                     dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    b1 = (1.0 / hidden) ** 0.5
+    b2 = (1.0 / adapter_size) ** 0.5
+    return {
+        "down": {"kernel": jax.random.uniform(k1, (hidden, adapter_size),
+                                              dtype, -b1, b1),
+                 "bias": jnp.zeros((adapter_size,), dtype)},
+        "up": {"kernel": jax.random.uniform(k2, (adapter_size, hidden),
+                                            dtype, -b2, b2),
+               "bias": jnp.zeros((hidden,), dtype)},
+        "ln": L.init_layernorm(hidden, dtype),
+    }
+
+
+def seq_adapter(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LN(x + up(gelu(down(x)))) over [B, T, H] (clip_adapter.py:17-23)."""
+    h = L.linear(p["up"], L.gelu_exact(L.linear(p["down"], x)))
+    return L.layer_norm(p["ln"], x + h, eps)
+
+
+# ---------------------------------------------------------------------------
+# 3. cross-modal attention adapter (M)
+# ---------------------------------------------------------------------------
+
+def init_cross_modal_adapter(rng, text_dim: int = 512, image_dim: int = 768,
+                             hidden: int = 512, num_heads: int = 8,
+                             dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 5)
+    return {
+        "text_proj": L.init_linear(ks[0], text_dim, hidden, dtype=dtype),
+        "image_proj": L.init_linear(ks[1], image_dim, hidden, dtype=dtype),
+        "attn": L.init_mha(ks[2], hidden, num_heads, dtype=dtype),
+        "norm1": L.init_layernorm(hidden, dtype),  # over image side
+        "norm2": L.init_layernorm(hidden, dtype),  # over text side
+        "norm3": L.init_layernorm(hidden, dtype),  # pre-MLP
+        "mlp": init_mlp_gelu(ks[3], hidden, dtype),
+    }
+
+
+def init_mlp_gelu(rng, hidden: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    b1 = (1.0 / hidden) ** 0.5
+    b2 = (1.0 / (4 * hidden)) ** 0.5
+    return {
+        "fc1": {"kernel": jax.random.uniform(k1, (hidden, 4 * hidden), dtype,
+                                             -b1, b1),
+                "bias": jnp.zeros((4 * hidden,), dtype)},
+        "fc2": {"kernel": jax.random.uniform(k2, (4 * hidden, hidden), dtype,
+                                             -b2, b2),
+                "bias": jnp.zeros((hidden,), dtype)},
+    }
+
+
+def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
+                        num_heads: int = 8, eps: float = 1e-5) -> jnp.ndarray:
+    """SharedMHSAttentionAdapter forward (clip_adapter.py:99-128).
+
+    Note the reference quirk: the residual for the attention block is the
+    *normed* projected text (norm2 output), not the un-normed projection.
+    """
+    t = L.linear(p["text_proj"], text)
+    im = L.linear(p["image_proj"], image)
+    kv = L.layer_norm(p["norm1"], im, eps)
+    q = L.layer_norm(p["norm2"], t, eps)
+    attn = L.mha(p["attn"], q, kv, num_heads)
+    h = q + attn
+    out = h + L.mlp(p["mlp"], L.layer_norm(p["norm3"], h, eps), act="gelu")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. peclip alternates
+# ---------------------------------------------------------------------------
+
+def init_textual_adapter(rng, dim: int, hidden: int,
+                         dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(rng)
+    b1 = (1.0 / dim) ** 0.5
+    b2 = (1.0 / hidden) ** 0.5
+    return {
+        "down": {"kernel": jax.random.uniform(k1, (dim, hidden), dtype,
+                                              -b1, b1),
+                 "bias": jnp.zeros((hidden,), dtype)},
+        "up": {"kernel": jax.random.uniform(k2, (hidden, dim), dtype,
+                                            -b2, b2),
+               "bias": jnp.zeros((dim,), dtype)},
+    }
+
+
+def textual_adapter(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Bottleneck + GELU + plain residual, no LN (peclip.py:6-18)."""
+    return x + L.linear(p["up"], L.gelu_exact(L.linear(p["down"], x)))
+
+
+def init_self_attn_adapter(rng, dim: int, num_heads: int,
+                           dtype=jnp.float32) -> Params:
+    k1, _ = jax.random.split(rng)
+    return {"attn": L.init_mha(k1, dim, num_heads, dtype=dtype),
+            "ln": L.init_layernorm(dim, dtype)}
+
+
+def self_attn_adapter(p: Params, x: jnp.ndarray, num_heads: int,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """Self-MHA + LN(attn + x) (peclip.py ContextAdapter/SharedAdapter)."""
+    attn = L.mha(p["attn"], x, x, num_heads)
+    return L.layer_norm(p["ln"], attn + x, eps)

@@ -59,7 +59,7 @@ def with_mesh(mesh: Mesh):
     prev = _ACTIVE_MESH
     _ACTIVE_MESH = mesh
     try:
-        with jax.sharding.use_mesh(mesh):
+        with jax.sharding.set_mesh(mesh):
             yield mesh
     finally:
         _ACTIVE_MESH = prev

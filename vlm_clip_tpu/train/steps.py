@@ -1,0 +1,141 @@
+"""Jitted training steps (pipeline M contrastive; adapter-only or full FT).
+
+The reference's hot loop (trainer.py:75-99: forward, backward, clip,
+AdamW, schedule) becomes one donated jit step. Parallelism: inputs and
+features carry ``P('data', ...)`` sharding constraints; because both
+feature matrices are batch-sharded, the BxB contrastive logit matrix makes
+XLA insert an all_gather of the embeddings over the ``data`` axis (ICI) —
+the global-batch loss the reference computes single-device
+(model_m.py:152-163), scaled across chips.
+
+Two autodiff graphs (SURVEY.md §5 hard part 5):
+- ``freeze_clip=True`` (adapter-only, trainer.py:40-43): grads flow only
+  into the adapter params arg; the towers are a stop-gradient input, so
+  XLA never materializes tower backward.
+- ``freeze_clip=False`` (full fine-tune, model_m.py:72-75): clip params
+  join the trainable pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from vlm_clip_tpu.core.config import AdapterConfig, CLIPConfig
+from vlm_clip_tpu.core.dtypes import BF16, DTypePolicy
+from vlm_clip_tpu.models import model_m as M
+from vlm_clip_tpu.parallel.mesh import DATA_AXIS
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    adapter_params: Params
+    clip_params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def _constrain_data(x):
+    """Shard leading (batch) dim over the data axis when a mesh is active."""
+    if x is None:
+        return None
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+    except (ValueError, RuntimeError):
+        return x  # no mesh context: single-device jit
+
+
+def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
+                      tx: optax.GradientTransformation,
+                      policy: DTypePolicy = BF16,
+                      freeze_clip: bool = True) -> Callable:
+    """Build the donated jit train step: (state, batch) -> (state, metrics).
+
+    batch = dict(input_ids, attention_mask, pixel_values).
+    """
+
+    def loss_fn(trainable, static_clip, batch):
+        if freeze_clip:
+            adapter_params = trainable
+            clip_params = static_clip
+        else:
+            adapter_params = trainable["adapters"]
+            clip_params = trainable["clip"]
+        ids = _constrain_data(batch["input_ids"])
+        mask = _constrain_data(batch.get("attention_mask"))
+        px = _constrain_data(batch["pixel_values"])
+        out = M.m_forward(clip_params, adapter_params, ids, mask, px, cfg,
+                          acfg, policy, return_loss=True)
+        return out.loss
+
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
+        if freeze_clip:
+            trainable = state.adapter_params
+            static_clip = state.clip_params
+        else:
+            trainable = {"adapters": state.adapter_params,
+                         "clip": state.clip_params}
+            static_clip = None
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, static_clip,
+                                                  batch)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        if freeze_clip:
+            new_state = TrainState(trainable, state.clip_params, opt_state,
+                                   state.step + 1)
+        else:
+            new_state = TrainState(trainable["adapters"], trainable["clip"],
+                                   opt_state, state.step + 1)
+        return new_state, StepMetrics(loss=loss, grad_norm=gnorm)
+
+    return step
+
+
+def make_m_eval_step(cfg: CLIPConfig, acfg: AdapterConfig,
+                     policy: DTypePolicy = BF16) -> Callable:
+    """Jitted validation loss (trainer.py:126-145 equivalent)."""
+
+    @jax.jit
+    def eval_step(adapter_params, clip_params, batch):
+        out = M.m_forward(clip_params, adapter_params,
+                          _constrain_data(batch["input_ids"]),
+                          _constrain_data(batch.get("attention_mask")),
+                          _constrain_data(batch["pixel_values"]),
+                          cfg, acfg, policy, return_loss=True)
+        return out.loss
+
+    return eval_step
+
+
+def init_train_state(rng, cfg: CLIPConfig, acfg: AdapterConfig,
+                     tx: optax.GradientTransformation,
+                     clip_params: Optional[Params] = None,
+                     freeze_clip: bool = True) -> TrainState:
+    from vlm_clip_tpu.models.clip import init_clip
+
+    k1, k2 = jax.random.split(rng)
+    if clip_params is None:
+        clip_params = init_clip(k1, cfg)
+    adapter_params = M.init_m_adapters(k2, cfg, acfg)
+    if freeze_clip:
+        opt_state = tx.init(adapter_params)
+    else:
+        opt_state = tx.init({"adapters": adapter_params,
+                             "clip": clip_params})
+    return TrainState(adapter_params, clip_params, opt_state,
+                      jnp.zeros((), jnp.int32))
