@@ -139,6 +139,8 @@ class Batch:
     paths: Optional[List[str]] = None
     captions: Optional[List[str]] = None
     valid: Optional[np.ndarray] = None       # [B] bool
+    context_features: Optional[np.ndarray] = None  # [B, P] (pipeline V)
+    contexts: Optional[List[str]] = None     # VLM descriptions (pipeline V)
 
     @property
     def size(self) -> int:
@@ -147,6 +149,8 @@ class Batch:
 
 def _collate(items, batch_size: int, pad: bool) -> Batch:
     n = len(items)
+    ids = mask = ctx = None
+    captions = contexts = None
     if isinstance(items[0], dict):
         images = np.stack([it["pixel_values"] for it in items])
         ids = np.stack([it["input_ids"] for it in items])
@@ -159,8 +163,10 @@ def _collate(items, batch_size: int, pad: bool) -> Batch:
         images = np.stack([it[0] for it in items])
         labels = np.asarray([it[1] for it in items], np.int32)
         paths = [it[2] for it in items]
-        ids = mask = None
-        captions = None
+        if len(items[0]) >= 4:  # V-pipeline: context features
+            ctx = np.stack([np.asarray(it[3], np.float32) for it in items])
+        if len(items[0]) >= 5:  # V-eval: context description text
+            contexts = [it[4] for it in items]
     valid = np.ones((n,), bool)
     if pad and n < batch_size:
         reps = batch_size - n
@@ -169,10 +175,12 @@ def _collate(items, batch_size: int, pad: bool) -> Batch:
         if ids is not None:
             ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
             mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
+        if ctx is not None:
+            ctx = np.concatenate([ctx, np.repeat(ctx[-1:], reps, 0)])
         valid = np.concatenate([valid, np.zeros((reps,), bool)])
     return Batch(images=images, labels=labels, input_ids=ids,
                  attention_mask=mask, paths=paths, captions=captions,
-                 valid=valid)
+                 valid=valid, context_features=ctx, contexts=contexts)
 
 
 class BatchLoader:

@@ -22,6 +22,7 @@ accumulation under the mixed policy.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -116,6 +117,12 @@ def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
 def vision_tower(p: Params, pixel_values: jnp.ndarray, cfg: VisionConfig,
                  policy: DTypePolicy = FP32, remat: bool = False) -> TowerOutput:
     B = pixel_values.shape[0]
+    if pixel_values.shape[-2:] != (cfg.image_size, cfg.image_size):
+        raise ValueError(
+            f"pixel_values spatial shape {pixel_values.shape[-2:]} does not "
+            f"match the model's image_size {cfg.image_size}; resize inputs "
+            f"to {cfg.image_size} (data/preprocess.load_and_resize) or pick "
+            "a matching VisionConfig")
     x = patchify(pixel_values.astype(policy.compute_dtype), cfg.patch_size)
     kernel = p["patch_embedding"]["kernel"].reshape(-1, cfg.hidden_size)
     x = jnp.dot(x, kernel.astype(x.dtype),
@@ -189,6 +196,23 @@ def get_text_features(params: Params, input_ids: jnp.ndarray,
     out = text_tower(params["text"], input_ids, attention_mask, cfg.text,
                      policy, remat)
     return project(params["text_projection"], out.pooled)
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_text_features(cfg: CLIPConfig, policy: DTypePolicy):
+    """Cached jit of get_text_features for a (config, policy) pair.
+
+    Eager per-op dispatch is pathologically slow through remote-TPU
+    tunnels; every repeated text encode should go through this.
+    """
+    return jax.jit(functools.partial(get_text_features, cfg=cfg,
+                                     policy=policy))
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_image_features(cfg: CLIPConfig, policy: DTypePolicy):
+    return jax.jit(functools.partial(get_image_features, cfg=cfg,
+                                     policy=policy))
 
 
 def clip_logits(params: Params, image_features: jnp.ndarray,

@@ -64,8 +64,8 @@ def encode_emotion_bank(clip_params: Params, cfg: CLIPConfig, tokenizer,
     bank = get_emotion_descriptions()
     texts = [d for e in emotions for d in bank[e]]
     ids, mask = tokenizer(texts)
-    feats = C.get_text_features(clip_params, jnp.asarray(ids),
-                                jnp.asarray(mask), cfg, policy)
+    feats = C.jitted_text_features(cfg, policy)(
+        clip_params, jnp.asarray(ids), jnp.asarray(mask))
     feats = L.l2_normalize(feats).astype(jnp.float32)
     K = NUM_DESCRIPTIONS_PER_CLASS
     per_desc = feats.reshape(len(emotions), K, -1)

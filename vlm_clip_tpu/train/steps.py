@@ -81,27 +81,33 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
                           acfg, policy, return_loss=True)
         return out.loss
 
-    @functools.partial(jax.jit, donate_argnames=("state",))
-    def step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
-        if freeze_clip:
-            trainable = state.adapter_params
-            static_clip = state.clip_params
-        else:
-            trainable = {"adapters": state.adapter_params,
-                         "clip": state.clip_params}
-            static_clip = None
+    # Donate only the trainable leaves + opt state: the frozen tower params
+    # are read-only (donating them would invalidate the caller's buffers
+    # for zero gain).
+    @functools.partial(jax.jit, donate_argnames=("trainable", "opt_state"))
+    def _jit_step(trainable, opt_state, static_clip, batch):
         loss, grads = jax.value_and_grad(loss_fn)(trainable, static_clip,
                                                   batch)
         gnorm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, StepMetrics(loss=loss, grad_norm=gnorm)
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:
         if freeze_clip:
+            trainable, opt_state, metrics = _jit_step(
+                state.adapter_params, state.opt_state, state.clip_params,
+                batch)
             new_state = TrainState(trainable, state.clip_params, opt_state,
                                    state.step + 1)
         else:
+            trainable = {"adapters": state.adapter_params,
+                         "clip": state.clip_params}
+            trainable, opt_state, metrics = _jit_step(
+                trainable, state.opt_state, None, batch)
             new_state = TrainState(trainable["adapters"], trainable["clip"],
                                    opt_state, state.step + 1)
-        return new_state, StepMetrics(loss=loss, grad_norm=gnorm)
+        return new_state, metrics
 
     return step
 

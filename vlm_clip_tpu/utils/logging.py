@@ -1,0 +1,45 @@
+"""Logging + seeding utilities (reference main.py:23-52).
+
+- :func:`setup_logging`: timestamped ``logs/training_%Y%m%d_%H%M%S.log``
+  file handler + console handler (main.py:33-52);
+- :func:`seed_everything`: the JAX equivalent of the reference's all-RNG
+  seeding (main.py:23-28) — numpy/python seeds plus a root PRNG key
+  (explicit keys replace CUDA RNG state).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+from datetime import datetime
+from typing import Optional
+
+
+def setup_logging(log_dir: str = "logs", name: str = "training",
+                  level: int = logging.INFO) -> str:
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(
+        log_dir, f"{name}_{datetime.now():%Y%m%d_%H%M%S}.log")
+    fmt = logging.Formatter(
+        "%(asctime)s - %(levelname)s - %(message)s")
+    root = logging.getLogger()
+    root.setLevel(level)
+    fh = logging.FileHandler(path)
+    fh.setFormatter(fmt)
+    ch = logging.StreamHandler()
+    ch.setFormatter(fmt)
+    root.addHandler(fh)
+    root.addHandler(ch)
+    return path
+
+
+def seed_everything(seed: int = 42):
+    """Seed host RNGs and return the root JAX PRNG key."""
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)
