@@ -194,13 +194,15 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, pad_final: bool = True,
                  seed: int = 42, prefetch: int = 2,
-                 num_workers: int = 0):
+                 num_workers: int = 0,
+                 collate_fn: Optional[Callable] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_final = pad_final
         self.prefetch = prefetch
+        self.collate_fn = collate_fn or _collate
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -228,7 +230,8 @@ class BatchLoader:
             try:
                 for idxs in self._index_batches():
                     items = [self.dataset[i] for i in idxs]
-                    q.put(_collate(items, self.batch_size, self.pad_final))
+                    q.put(self.collate_fn(items, self.batch_size,
+                                          self.pad_final))
             finally:
                 q.put(sentinel)
 

@@ -1,0 +1,89 @@
+"""Video frame pipeline (reference process_video.py:6-33) + per-frame
+CLIP scoring (BASELINE.json config 4).
+
+Behavior contracts:
+- first ``frame_limit=16`` frames via cv2, BGR->RGB, resize to 224^2;
+- normalization uses **ImageNet** stats, not CLIP stats — a reference
+  inconsistency (process_video.py:21-26) reproduced by default and
+  flag-gated via ``stats="clip"``;
+- output layout [C, T, H, W] (tensor stack then permute,
+  process_video.py:28-29).
+
+NOT reproduced: the reference executes an example call at module import
+(process_video.py:33) — an import-time side effect; here everything is a
+function. The TPU path keeps decode on host (cv2) and hands uint8 frames
+to the device for normalize + per-frame CLIP scoring in one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from vlm_clip_tpu.core.config import (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD,
+                                      IMAGENET_MEAN, IMAGENET_STD)
+
+
+def extract_frames(video_path: str, frame_limit: int = 16,
+                   size: int = 224) -> np.ndarray:
+    """First ``frame_limit`` frames -> uint8 [T, size, size, 3] (RGB)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    try:
+        while len(frames) < frame_limit:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frames.append(cv2.resize(frame, (size, size)))
+    finally:
+        cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return np.stack(frames).astype(np.uint8)
+
+
+def process_video(video_path: str, frame_limit: int = 16,
+                  size: int = 224, stats: str = "imagenet") -> np.ndarray:
+    """Reference-shaped output: normalized float32 [C, T, H, W].
+
+    ``stats='imagenet'`` reproduces the reference's (inconsistent) choice
+    of ImageNet normalization; ``stats='clip'`` uses CLIP stats.
+    """
+    frames = extract_frames(video_path, frame_limit, size)
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
+        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+    x = frames.astype(np.float32) / 255.0
+    x = (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return x.transpose(3, 0, 1, 2)  # [C, T, H, W]
+
+
+def score_video_frames(clip_params, cfg, frames_u8: np.ndarray,
+                       class_emb, policy=None, stats: str = "clip"
+                       ) -> np.ndarray:
+    """Per-frame emotion probabilities [T, C_classes].
+
+    Frames are treated as an image batch through the frozen tower (the
+    reference scores frames independently; SURVEY.md §5.7) — one jitted
+    forward on TPU, normalization on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_clip_tpu.core.dtypes import BF16
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    from vlm_clip_tpu.models import clip as C
+    from vlm_clip_tpu.models import layers as L
+
+    policy = policy or BF16
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
+        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+    px = normalize_batch_tpu(jnp.asarray(frames_u8), mean, std)
+    feats = C.jitted_image_features(cfg, policy)(clip_params, px)
+    feats = L.l2_normalize(feats).astype(jnp.float32)
+    sims = 100.0 * jnp.dot(feats, jnp.asarray(class_emb).T,
+                           preferred_element_type=jnp.float32)
+    return np.asarray(jax.nn.softmax(sims, axis=-1))
