@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["stub", "cache", "qwen", "none"])
     p.add_argument("--context-cache-dir", default=None,
                    help="cache dir for --vlm-backend=cache")
+    p.add_argument("--qwen-weights", default=None,
+                   help="dir with Qwen2.5-VL safetensors + tokenizer.json "
+                        "for --vlm-backend=qwen")
+    p.add_argument("--qwen-quant-bits", type=int, default=8,
+                   choices=[0, 4, 8],
+                   help="weight-only quantization for the VLM (0=fp)")
     p.add_argument("--bottleneck-dim", type=int, default=192)
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=0.2)
@@ -40,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_extractor(backend: str, clip_params, cfg, tokenizer,
-                   cache_dir=None):
+                   cache_dir=None, qwen_weights=None, qwen_quant_bits=8):
     if backend == "none":
         return None
     if backend == "stub":
@@ -56,7 +62,9 @@ def make_extractor(backend: str, clip_params, cfg, tokenizer,
     if backend == "qwen":
         from vlm_clip_tpu.vlm.qwen import QwenVLContextExtractor
 
-        return QwenVLContextExtractor(clip_params, cfg, tokenizer)
+        return QwenVLContextExtractor(
+            clip_params, cfg, tokenizer, weights_path=qwen_weights,
+            quant_bits=qwen_quant_bits or None)
     raise ValueError(backend)
 
 
@@ -82,7 +90,8 @@ def main(argv=None) -> None:
     tokenizer = make_tokenizer(cfg)
     image_size = args.image_size or cfg.vision.image_size
     extractor = make_extractor(args.vlm_backend, clip_params, cfg,
-                               tokenizer, args.context_cache_dir)
+                               tokenizer, args.context_cache_dir,
+                               args.qwen_weights, args.qwen_quant_bits)
 
     model = EnhancedCLIPAdapterV(
         clip_params, cfg, tokenizer, alpha=args.alpha, beta=args.beta,

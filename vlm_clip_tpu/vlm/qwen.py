@@ -1,0 +1,273 @@
+"""Qwen2.5-VL generation glue: tokenizer, greedy decode, context extractor.
+
+The end-to-end TPU replacement for the reference's
+``VLMContextExtractor`` (model_v.py:43-142): describe a face image with
+Qwen2.5-VL, embed the description with CLIP. Generation runs as a jitted
+prefill + donated single-token decode steps over a static KV cache;
+weights can be fp32/bf16 or weight-only int8/int4 (vlm/qwen_convert.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vlm_clip_tpu.vlm.extractor import VLM_PROMPT, ClipTextEncoderMixin
+from vlm_clip_tpu.vlm.qwen_model import (KVCache, QwenVLConfig,
+                                         init_kv_cache, text_forward,
+                                         vision_forward)
+from vlm_clip_tpu.vlm.qwen_process import (VisionInputs, build_prompt_ids,
+                                           prepare_vision_inputs,
+                                           rope_index_single)
+
+# GPT-2-family pretokenizer (re-module approximation of Qwen's \p classes)
+_QWEN_PAT = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d{1,3}| ?[^\s\w]+[\r\n]*"
+    r"|\s*[\r\n]+|\s+(?!\S)|\s+",
+    re.IGNORECASE,
+)
+
+
+class QwenBPETokenizer:
+    """Byte-level BPE from an HF ``tokenizer.json`` (Qwen2 family)."""
+
+    def __init__(self, tokenizer_json: str):
+        from vlm_clip_tpu.data.tokenizer import bytes_to_unicode
+
+        with open(tokenizer_json, encoding="utf-8") as f:
+            data = json.load(f)
+        model = data["model"]
+        self.encoder: Dict[str, int] = model["vocab"]
+        merges = [tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+                  for m in model["merges"]]
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {c: b for b, c in self.byte_encoder.items()}
+        self.special: Dict[str, int] = {
+            t["content"]: t["id"] for t in data.get("added_tokens", [])}
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.decoder.update({v: k for k, v in self.special.items()})
+        self._cache: Dict[str, List[str]] = {}
+        self._special_pat = re.compile(
+            "(" + "|".join(re.escape(s) for s in sorted(
+                self.special, key=len, reverse=True)) + ")") \
+            if self.special else None
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, 1 << 31))
+            if bigram not in self.bpe_ranks:
+                break
+            a, b = bigram
+            out: List[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = tuple(out)
+        res = list(word)
+        self._cache[token] = res
+        return res
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        chunks = self._special_pat.split(text) if self._special_pat \
+            else [text]
+        for chunk in chunks:
+            if not chunk:
+                continue
+            if chunk in self.special:
+                ids.append(self.special[chunk])
+                continue
+            for tok in _QWEN_PAT.findall(chunk):
+                mapped = "".join(self.byte_encoder[b]
+                                 for b in tok.encode("utf-8"))
+                ids.extend(self.encoder[t] for t in self._bpe(mapped))
+        return ids
+
+    def decode(self, ids, skip_special: bool = True) -> str:
+        parts: List[str] = []
+        for i in ids:
+            tok = self.decoder.get(int(i), "")
+            if skip_special and tok in self.special:
+                continue
+            parts.append(tok)
+        text = "".join(parts)
+        raw = bytearray(self.byte_decoder[c] for c in text
+                        if c in self.byte_decoder)
+        return raw.decode("utf-8", errors="replace")
+
+
+class QwenVLGenerator:
+    """Greedy decoding over the JAX Qwen2.5-VL (single image, batch 1)."""
+
+    def __init__(self, params: Dict, cfg: QwenVLConfig,
+                 max_len: int = 1536, dtype=None):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.params = params
+        self.cfg = cfg
+        self.max_len = max_len
+        self.dtype = dtype or jnp.bfloat16
+
+        tcfg = cfg.text
+
+        @jax.jit
+        def prefill(params, embeds, position_ids, cache):
+            T = embeds.shape[1]
+            causal = jnp.tril(jnp.ones((T, T), bool))
+            cols = jnp.arange(cache.k.shape[2])
+            pad = cols[None, :] < T
+            allowed = jnp.concatenate(
+                [causal, jnp.zeros((T, cache.k.shape[2] - T), bool)],
+                axis=1)
+            mask = jnp.where(allowed[None, None], 0.0, -3.4028235e38)
+            logits, cache = text_forward(params, embeds, position_ids,
+                                         tcfg, mask, cache, jnp.int32(0))
+            return logits[:, -1], cache
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def decode_step(params, token, pos, cache, length):
+            emb = params["embed_tokens"][token][None, None]  # [1, 1, H]
+            position_ids = jnp.broadcast_to(pos, (3,))[:, None, None]
+            cols = jnp.arange(cache.k.shape[2])
+            mask = jnp.where((cols <= length)[None, None, None], 0.0,
+                             -3.4028235e38)
+            logits, cache = text_forward(params, emb.astype(self.dtype),
+                                         position_ids, tcfg, mask, cache,
+                                         length + 1)
+            return jnp.argmax(logits[0, -1]), cache
+
+        @jax.jit
+        def run_vision(vparams, patches, rope, wmask, fmask):
+            return vision_forward(vparams, patches.astype(self.dtype),
+                                  rope, wmask, fmask, cfg.vision)
+
+        self._prefill = prefill
+        self._decode_step = decode_step
+        self._run_vision = run_vision
+
+    def embed_sequence(self, ids: np.ndarray, vision: VisionInputs):
+        """Text embeds with vision embeds scattered over image-pad slots."""
+        import jax.numpy as jnp
+
+        vis = self._run_vision(self.params["vision"],
+                               jnp.asarray(vision.patches),
+                               jnp.asarray(vision.rot_pos_emb),
+                               jnp.asarray(vision.window_mask),
+                               jnp.asarray(vision.full_mask))
+        vis = vis[jnp.asarray(vision.reverse_index)]
+        embeds = self.params["text"]["embed_tokens"][jnp.asarray(ids)]
+        img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
+        embeds = embeds.at[jnp.asarray(img_slots)].set(
+            vis.astype(embeds.dtype))
+        return embeds[None].astype(self.dtype)
+
+    def generate(self, image, prompt_text: str, tokenizer,
+                 max_new_tokens: int = 200,
+                 fixed_resolution: Optional[int] = 448) -> List[int]:
+        vision = prepare_vision_inputs(image, self.cfg.vision,
+                                       fixed_resolution=fixed_resolution)
+        ids = build_prompt_ids(tokenizer, prompt_text,
+                               vision.num_vision_tokens, self.cfg)
+        return self.generate_from_ids(ids, vision, max_new_tokens)
+
+    def generate_from_ids(self, ids: np.ndarray, vision: VisionInputs,
+                          max_new_tokens: int = 200) -> List[int]:
+        import jax.numpy as jnp
+
+        pos, delta = rope_index_single(ids, vision.grid, self.cfg)
+        embeds = self.embed_sequence(ids, vision)
+        T = len(ids)
+        cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype)
+        logits, cache = self._prefill(self.params["text"], embeds,
+                                      jnp.asarray(pos)[:, None, :], cache)
+        token = int(jnp.argmax(logits[0]))
+        out: List[int] = []
+        length = T
+        for step in range(max_new_tokens):
+            if token == self.cfg.eos_token_id:
+                break
+            out.append(token)
+            next_pos = T + delta + step
+            token_arr, cache = self._decode_step(
+                self.params["text"], jnp.int32(token), jnp.int32(next_pos),
+                cache, jnp.int32(length))
+            token = int(token_arr)
+            length += 1
+        return out
+
+
+class QwenVLContextExtractor(ClipTextEncoderMixin):
+    """The reference VLMContextExtractor contract on the JAX Qwen port.
+
+    Requires local weights (safetensors dir or converted pickle) and a
+    Qwen tokenizer.json. Raises at construction when assets are missing —
+    use StubContextExtractor or CachedContextExtractor instead then.
+    """
+
+    def __init__(self, clip_params, clip_cfg, clip_tokenizer,
+                 weights_path: Optional[str] = None,
+                 quant_bits: Optional[int] = 8, policy=None,
+                 max_new_tokens: int = 200,
+                 fixed_resolution: Optional[int] = 448):
+        super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
+        if not weights_path or not os.path.isdir(weights_path):
+            raise FileNotFoundError(
+                "Qwen2.5-VL weights not found (expected a directory with "
+                "safetensors + tokenizer.json); pass weights_path or use "
+                "the stub/cache context backends")
+        from vlm_clip_tpu.vlm.qwen_convert import (convert_qwen_vl,
+                                                   quantize_qwen_params)
+        from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
+
+        sd = load_safetensors_dir(weights_path)
+        self.qwen_cfg = qwen25vl_3b()
+        params = convert_qwen_vl(sd, self.qwen_cfg)
+        if quant_bits:
+            params = quantize_qwen_params(params, quant_bits)
+        self.generator = QwenVLGenerator(params, self.qwen_cfg)
+        tok_json = os.path.join(weights_path, "tokenizer.json")
+        self.qwen_tokenizer = QwenBPETokenizer(tok_json)
+        self.max_new_tokens = max_new_tokens
+        self.fixed_resolution = fixed_resolution
+
+    def extract_context_from_image(self, image) -> Optional[str]:
+        try:
+            ids = self.generator.generate(
+                image, VLM_PROMPT, self.qwen_tokenizer,
+                max_new_tokens=self.max_new_tokens,
+                fixed_resolution=self.fixed_resolution)
+            text = self.qwen_tokenizer.decode(ids).strip()
+            return text if text else None
+        except Exception as e:  # None-on-error (model_v.py:124-126)
+            print(f"Error processing image for VLM context: {e}")
+            return None
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """All tensors from every .safetensors shard in a directory."""
+    from safetensors.numpy import load_file
+
+    out: Dict[str, np.ndarray] = {}
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".safetensors"):
+            out.update(load_file(os.path.join(path, fname)))
+    if not out:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    return out

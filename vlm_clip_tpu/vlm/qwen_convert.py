@@ -1,0 +1,150 @@
+"""HF Qwen2.5-VL checkpoint -> vlm_clip_tpu pytrees (+ optional
+weight-only quantization, the bitsandbytes-NF4 replacement).
+
+Accepts any mapping of HF state-dict names to arrays: a live torch
+``state_dict()`` (hermetic tiny models in tests) or safetensors shards
+loaded without torch. HF name roots handled: ``model.language_model.*`` /
+``model.visual.*`` (transformers >= 4.52) and the legacy ``model.*`` /
+``visual.*``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_clip_tpu.ops.quant import quantize_weight
+from vlm_clip_tpu.vlm.qwen_model import (QwenTextConfig, QwenVisionConfig,
+                                         QwenVLConfig)
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def _lin(sd, prefix, bias=True):
+    p = {"kernel": jnp.asarray(_np(sd[prefix + ".weight"]).T)}
+    if bias and prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]))
+    return p
+
+
+def _norm(sd, prefix):
+    return {"scale": jnp.asarray(_np(sd[prefix + ".weight"]))}
+
+
+def _root(sd: Mapping[str, Any]) -> Dict[str, str]:
+    if any(k.startswith("model.language_model.") for k in sd):
+        return {"text": "model.language_model", "vision": "model.visual"}
+    return {"text": "model", "vision": "visual"}
+
+
+def convert_qwen_text(sd: Mapping[str, Any], cfg: QwenTextConfig,
+                      root: Optional[str] = None) -> Dict[str, Any]:
+    root = root or _root(sd)["text"]
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{root}.layers.{i}"
+        layers.append({
+            "attn": {
+                "q": _lin(sd, b + ".self_attn.q_proj"),
+                "k": _lin(sd, b + ".self_attn.k_proj"),
+                "v": _lin(sd, b + ".self_attn.v_proj"),
+                "o": _lin(sd, b + ".self_attn.o_proj", bias=False),
+            },
+            "mlp": {
+                "gate": _lin(sd, b + ".mlp.gate_proj", bias=False),
+                "up": _lin(sd, b + ".mlp.up_proj", bias=False),
+                "down": _lin(sd, b + ".mlp.down_proj", bias=False),
+            },
+            "ln1": _norm(sd, b + ".input_layernorm"),
+            "ln2": _norm(sd, b + ".post_attention_layernorm"),
+        })
+    params = {
+        "embed_tokens": jnp.asarray(
+            _np(sd[f"{root}.embed_tokens.weight"])),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": _norm(sd, f"{root}.norm"),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": jnp.asarray(
+            _np(sd["lm_head.weight"]).T)}
+    return params
+
+
+def convert_qwen_vision(sd: Mapping[str, Any], cfg: QwenVisionConfig,
+                        root: Optional[str] = None) -> Dict[str, Any]:
+    root = root or _root(sd)["vision"]
+    # Conv3d weight [H, C, t, P, P] -> flatten matching the
+    # (C, t, ph, pw) patch layout of qwen_process.image_to_patches
+    conv = _np(sd[f"{root}.patch_embed.proj.weight"])
+    kernel = conv.reshape(conv.shape[0], -1).T  # [C*t*P*P, H]
+    blocks = []
+    for i in range(cfg.depth):
+        b = f"{root}.blocks.{i}"
+        blocks.append({
+            "attn": {"qkv": _lin(sd, b + ".attn.qkv"),
+                     "proj": _lin(sd, b + ".attn.proj")},
+            "mlp": {"gate": _lin(sd, b + ".mlp.gate_proj"),
+                    "up": _lin(sd, b + ".mlp.up_proj"),
+                    "down": _lin(sd, b + ".mlp.down_proj")},
+            "ln1": _norm(sd, b + ".norm1"),
+            "ln2": _norm(sd, b + ".norm2"),
+        })
+    return {
+        "patch_embed": {"kernel": jnp.asarray(kernel)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "merger": {
+            "ln_q": _norm(sd, f"{root}.merger.ln_q"),
+            "fc1": _lin(sd, f"{root}.merger.mlp.0"),
+            "fc2": _lin(sd, f"{root}.merger.mlp.2"),
+        },
+    }
+
+
+def convert_qwen_vl(sd: Mapping[str, Any], cfg: QwenVLConfig
+                    ) -> Dict[str, Any]:
+    return {"text": convert_qwen_text(sd, cfg.text),
+            "vision": convert_qwen_vision(sd, cfg.vision)}
+
+
+def quantize_qwen_params(params: Dict[str, Any], bits: int = 8
+                         ) -> Dict[str, Any]:
+    """Quantize every linear kernel (weight-only); embeddings/norms stay
+    fp. Mirrors the reference's 4-bit-everything bitsandbytes policy
+    (model_v.py:46-51) with int8/int4."""
+
+    from vlm_clip_tpu.ops.quant import QuantizedLinear
+
+    def quantize_node(node):
+        kernel = node["kernel"]
+        bias = node.get("bias")
+        if kernel.ndim == 2:
+            return quantize_weight(kernel, bits, bias)
+        # stacked per-layer kernels [L, in, out]: vmap the quantizer
+        q = jax.vmap(lambda w: quantize_weight(w, bits))(kernel)
+        return QuantizedLinear(qweight=q.qweight, scale=q.scale, bits=bits,
+                               bias=bias)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and node["kernel"].ndim in (2, 3):
+                return quantize_node(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    out = {}
+    for tower, sub in params.items():
+        tower_out = {}
+        for name, val in sub.items():
+            if name in ("embed_tokens", "final_norm", "patch_embed"):
+                tower_out[name] = val  # keep fp
+            else:
+                tower_out[name] = walk(val)
+        out[tower] = tower_out
+    return out

@@ -1,0 +1,410 @@
+"""Qwen2.5-VL in functional JAX: text decoder + windowed vision tower.
+
+From-scratch TPU port of the reference's VLM backend (model_v.py:43-142
+loads HF ``Qwen2_5_VLForConditionalGeneration`` 4-bit via bitsandbytes).
+Architecture (validated against the HF implementation at fp32 tolerance
+by tests/test_qwen.py):
+
+- text: pre-RMSNorm decoder, GQA attention (kv heads < q heads) with
+  biasless o-proj / biased qkv, SwiGLU MLP, M-RoPE (3-axis rotary with
+  per-axis channel sections), optional tied lm head;
+- vision: 3D-conv patch embed (temporal 2 x 14 x 14), RMSNorm pre-norm
+  blocks, 2D rotary, **window attention** with full-attention blocks at
+  ``fullatt_block_indexes``, 2x2 spatial merger MLP to the text width;
+- weights may be fp32/bf16 pytrees or weight-only int8/int4
+  (ops/quant.py) — the NF4 replacement;
+- decode: donated jitted single-token step over a preallocated KV cache
+  (static shapes; the cache rides in HBM and is updated in place via
+  donation).
+
+TPU-first choices vs the HF graph: layers stacked + scanned (per-layer
+KV cache is the scanned ys axis), window attention realized as one
+additive block-diagonal mask (precomputed on host per grid, static for a
+fixed image resolution policy) instead of python-loop per-window splits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_clip_tpu.ops.quant import QuantizedLinear, quant_matmul
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenTextConfig:
+    hidden_size: int = 2048
+    intermediate_size: int = 11008
+    num_layers: int = 36
+    num_heads: int = 16
+    num_kv_heads: int = 2
+    head_dim: int = 128
+    vocab_size: int = 151936
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    mrope_section: Tuple[int, int, int] = (16, 24, 24)
+    tie_word_embeddings: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVisionConfig:
+    hidden_size: int = 1280
+    intermediate_size: int = 3420
+    out_hidden_size: int = 2048
+    depth: int = 32
+    num_heads: int = 16
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    rms_norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def merge_unit(self) -> int:
+        return self.spatial_merge_size ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLConfig:
+    text: QwenTextConfig = dataclasses.field(default_factory=QwenTextConfig)
+    vision: QwenVisionConfig = dataclasses.field(
+        default_factory=QwenVisionConfig)
+    image_token_id: int = 151655
+    vision_start_token_id: int = 151652
+    eos_token_id: int = 151645  # <|im_end|>
+
+
+def qwen25vl_3b() -> QwenVLConfig:
+    """Qwen2.5-VL-3B-Instruct dims (the reference's checkpoint,
+    config.py:9)."""
+    return QwenVLConfig()
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    """fp {'kernel'[,'bias']} or QuantizedLinear."""
+    if isinstance(p, QuantizedLinear):
+        shape = x.shape
+        y = quant_matmul(x.reshape(-1, shape[-1]), p)
+        return y.reshape(*shape[:-1], -1)
+    y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def swiglu_mlp(p, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x))
+                  * linear(p["up"], x))
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def mrope_cos_sin(position_ids: jnp.ndarray, head_dim: int, theta: float,
+                  mrope_section: Tuple[int, int, int]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """position_ids [3, B, T] -> (cos, sin) [B, T, head_dim] with the
+    temporal/height/width channel sections interleaved (HF
+    apply_multimodal_rotary_pos_emb semantics)."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32)
+                                / half))
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # 3BTH/2
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [3, B, T, head_dim]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    sections = list(mrope_section) * 2
+    starts = np.cumsum([0] + sections[:-1])
+    cos_parts = [cos[i % 3, ..., s:s + n]
+                 for i, (s, n) in enumerate(zip(starts, sections))]
+    sin_parts = [sin[i % 3, ..., s:s + n]
+                 for i, (s, n) in enumerate(zip(starts, sections))]
+    return (jnp.concatenate(cos_parts, axis=-1),
+            jnp.concatenate(sin_parts, axis=-1))
+
+
+def apply_rope(q, k, cos, sin):
+    """q [B,T,h,d], cos/sin [B,T,d] -> rotated (fp32 internally)."""
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    qe = q32 * c + _rotate_half(q32) * s
+    ke = k32 * c + _rotate_half(k32) * s
+    return qe.astype(q.dtype), ke.astype(k.dtype)
+
+
+# ---------------------------------------------------------------------------
+# text decoder
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, maxlen, kv_heads, head_dim]
+    v: jnp.ndarray
+    length: jnp.ndarray  # [] int32 — tokens filled
+
+
+def init_kv_cache(cfg: QwenTextConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads):
+    """q [B,T,h,d]; k,v [B,S,kv,d]; mask additive [B|1,1,T,S]."""
+    B, T, h, d = q.shape
+    rep = num_heads // num_kv_heads
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, T, h * d)
+
+
+def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
+                       cache_kv: Optional[Tuple] = None,
+                       cache_index: Optional[jnp.ndarray] = None):
+    """Returns (x, (k_full, v_full)). With cache, k/v are written at
+    cache_index and the full cache views are used for attention."""
+    B, T, _ = x.shape
+    h = rms_norm(p["ln1"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["q"], h).reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = linear(p["attn"]["k"], h).reshape(B, T, cfg.num_kv_heads,
+                                          cfg.head_dim)
+    v = linear(p["attn"]["v"], h).reshape(B, T, cfg.num_kv_heads,
+                                          cfg.head_dim)
+    q, k = apply_rope(q, k, cos, sin)
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, maxlen, kv, d]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_index, 0, 0))
+        k_att, v_att = ck, cv
+        new_cache = (ck, cv)
+    else:
+        k_att, v_att = k, v
+        new_cache = (k, v)
+    attn = _gqa_attention(q, k_att.astype(q.dtype), v_att.astype(q.dtype),
+                          mask, cfg.num_heads, cfg.num_kv_heads)
+    x = x + linear(p["attn"]["o"], attn)
+    x = x + swiglu_mlp(p["mlp"], rms_norm(p["ln2"], x, cfg.rms_norm_eps))
+    return x, new_cache
+
+
+def text_forward(params: Params, embeds: jnp.ndarray,
+                 position_ids: jnp.ndarray, cfg: QwenTextConfig,
+                 mask: Optional[jnp.ndarray] = None,
+                 cache: Optional[KVCache] = None,
+                 cache_index: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """embeds [B, T, H] -> (logits [B, T, V], updated cache).
+
+    ``position_ids`` [3, B, T]. With a cache, ``mask`` must cover the full
+    cache length [B|1, 1, T, maxlen].
+    """
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
+                             cfg.mrope_section)
+    x = embeds
+
+    if cache is None:
+        def body(h, lp):
+            h, _ = text_decoder_layer(lp, h, cos, sin, mask, cfg)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+        def body(h, inputs):
+            lp, ck, cv = inputs
+            h, (nk, nv) = text_decoder_layer(lp, h, cos, sin, mask, cfg,
+                                             (ck, cv), cache_index)
+            return h, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(body, x,
+                                   (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(nk, nv, cache.length + x.shape[1])
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        head = params["embed_tokens"].astype(x.dtype).T
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    else:
+        logits = linear(params["lm_head"], x).astype(jnp.float32)
+    return logits.astype(jnp.float32), new_cache
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+# ---------------------------------------------------------------------------
+
+def vision_block(p, x, cos, sin, mask, cfg: QwenVisionConfig):
+    """x [S, H] (sequence-major, batchless like the HF tower)."""
+    h = rms_norm(p["ln1"], x, cfg.rms_norm_eps)
+    S = x.shape[0]
+    qkv = linear(p["attn"]["qkv"], h).reshape(S, 3, cfg.num_heads,
+                                              cfg.head_dim)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q, k = apply_rope(q[None], k[None], cos[None], sin[None])
+    q, k = q[0], k[0]
+    scores = jnp.einsum("thd,shd->hts", q, k,
+                        preferred_element_type=jnp.float32) \
+        * (cfg.head_dim ** -0.5)
+    scores = scores + mask.astype(jnp.float32)[None]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    attn = jnp.einsum("hts,shd->thd", probs.astype(x.dtype), v,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + linear(p["attn"]["proj"], attn.reshape(S, -1))
+    x = x + swiglu_mlp(p["mlp"], rms_norm(p["ln2"], x, cfg.rms_norm_eps))
+    return x
+
+
+def vision_forward(params: Params, patches: jnp.ndarray,
+                   rot_pos_emb: jnp.ndarray, window_mask: jnp.ndarray,
+                   full_mask: jnp.ndarray, cfg: QwenVisionConfig
+                   ) -> jnp.ndarray:
+    """patches [S, C*t*P*P] ALREADY window-permuted (host does the
+    window_index shuffle, vlm/qwen_process.py); rot_pos_emb [S, head_dim/2]
+    likewise permuted. Masks are additive [S, S]. Returns merged vision
+    embeds [S/4, out_hidden] in window order (host un-permutes)."""
+    x = jnp.dot(patches.astype(jnp.float32),
+                params["patch_embed"]["kernel"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    x = x.astype(patches.dtype) if patches.dtype != jnp.float32 else x
+    emb = jnp.concatenate([rot_pos_emb, rot_pos_emb], axis=-1)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    is_full = np.zeros((cfg.depth,), bool)
+    for i in cfg.fullatt_block_indexes:
+        is_full[i] = True
+
+    def body(h, inputs):
+        lp, full_flag = inputs
+        m = jnp.where(full_flag, full_mask, window_mask)
+        return vision_block(lp, h, cos, sin, m, cfg), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.asarray(is_full)))
+
+    # 2x2 spatial merger (Qwen2_5_VLPatchMerger)
+    x = rms_norm(params["merger"]["ln_q"], x, cfg.rms_norm_eps)
+    x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
+    h = jax.nn.gelu(linear(params["merger"]["fc1"], x), approximate=False)
+    return linear(params["merger"]["fc2"], h)
+
+
+# ---------------------------------------------------------------------------
+# init (random, for hermetic tests)
+# ---------------------------------------------------------------------------
+
+def _init_linear(rng, din, dout, bias=True, dtype=jnp.float32):
+    p = {"kernel": (jax.random.normal(rng, (din, dout)) * din ** -0.5
+                    ).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def init_text(rng, cfg: QwenTextConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 8)
+    H, hd = cfg.hidden_size, cfg.head_dim
+
+    def layer(k):
+        k = jax.random.split(k, 8)
+        return {
+            "attn": {
+                "q": _init_linear(k[0], H, cfg.num_heads * hd, True, dtype),
+                "k": _init_linear(k[1], H, cfg.num_kv_heads * hd, True,
+                                  dtype),
+                "v": _init_linear(k[2], H, cfg.num_kv_heads * hd, True,
+                                  dtype),
+                "o": _init_linear(k[3], cfg.num_heads * hd, H, False,
+                                  dtype),
+            },
+            "mlp": {
+                "gate": _init_linear(k[4], H, cfg.intermediate_size, False,
+                                     dtype),
+                "up": _init_linear(k[5], H, cfg.intermediate_size, False,
+                                   dtype),
+                "down": _init_linear(k[6], cfg.intermediate_size, H, False,
+                                     dtype),
+            },
+            "ln1": {"scale": jnp.ones((H,), dtype)},
+            "ln2": {"scale": jnp.ones((H,), dtype)},
+        }
+
+    layers = [layer(k) for k in jax.random.split(ks[0], cfg.num_layers)]
+    params = {
+        "embed_tokens": (jax.random.normal(
+            ks[1], (cfg.vocab_size, H)) * 0.02).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": {"scale": jnp.ones((H,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _init_linear(ks[2], H, cfg.vocab_size, False,
+                                         dtype)
+    return params
+
+
+def init_vision(rng, cfg: QwenVisionConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 6)
+    H = cfg.hidden_size
+    in_dim = 3 * cfg.temporal_patch_size * cfg.patch_size ** 2
+
+    def block(k):
+        k = jax.random.split(k, 6)
+        return {
+            "attn": {"qkv": _init_linear(k[0], H, 3 * H, True, dtype),
+                     "proj": _init_linear(k[1], H, H, True, dtype)},
+            "mlp": {"gate": _init_linear(k[2], H, cfg.intermediate_size,
+                                         True, dtype),
+                    "up": _init_linear(k[3], H, cfg.intermediate_size,
+                                       True, dtype),
+                    "down": _init_linear(k[4], cfg.intermediate_size, H,
+                                         True, dtype)},
+            "ln1": {"scale": jnp.ones((H,), dtype)},
+            "ln2": {"scale": jnp.ones((H,), dtype)},
+        }
+
+    blocks = [block(k) for k in jax.random.split(ks[0], cfg.depth)]
+    merged = cfg.merge_unit * H
+    return {
+        "patch_embed": {"kernel": (jax.random.normal(
+            ks[1], (in_dim, H)) * in_dim ** -0.5).astype(dtype)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "merger": {
+            "ln_q": {"scale": jnp.ones((H,), dtype)},
+            "fc1": _init_linear(ks[2], merged, merged, True, dtype),
+            "fc2": _init_linear(ks[3], merged, cfg.out_hidden_size, True,
+                                dtype),
+        },
+    }

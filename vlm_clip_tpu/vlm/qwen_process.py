@@ -1,0 +1,255 @@
+"""Host-side Qwen2.5-VL preprocessing: resize, patchify, window/rope
+index computation, 3D position ids, chat template.
+
+Everything here is numpy on the host; outputs are static-shaped arrays
+fed to the jitted model (vlm/qwen_model.py). Layouts match the HF
+``Qwen2VLImageProcessor`` (patch flatten order) and
+``Qwen2_5_VisionTransformerPretrainedModel`` (window index / cu_seqlens /
+2D rope) so converted weights produce identical numbers.
+
+TPU policy: the reference lets every image pick its own resolution within
+the [min_pixels, max_pixels] budget (config.py:10-11). We keep that
+budget but default to a fixed square resolution so the vision tower
+compiles once (fixed_resolution=448 -> 32x32 grid); set
+``fixed_resolution=None`` for HF-faithful per-image shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from vlm_clip_tpu.core.config import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+from vlm_clip_tpu.vlm.qwen_model import QwenVisionConfig, QwenVLConfig
+
+VLM_DEFAULT_MIN_PIXELS = 128 * 28 * 28  # reference config.py:10
+VLM_DEFAULT_MAX_PIXELS = 640 * 28 * 28  # reference config.py:11
+
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
+                 max_pixels: int = VLM_DEFAULT_MAX_PIXELS
+                 ) -> Tuple[int, int]:
+    """HF smart_resize: factor-divisible dims within the pixel budget."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absolute aspect ratio must be smaller than 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def image_to_patches(image, cfg: QwenVisionConfig,
+                     min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
+                     max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
+                     fixed_resolution: Optional[int] = 448
+                     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """PIL/array image -> (patches [S, C*t*P*P] fp32, grid (t, h, w)).
+
+    Flatten order matches Qwen2VLImageProcessor._preprocess.
+    """
+    from PIL import Image
+
+    from vlm_clip_tpu.data.preprocess import _to_pil
+
+    pil = _to_pil(image)
+    if fixed_resolution is not None:
+        rh = rw = fixed_resolution
+    else:
+        w, h = pil.size
+        rh, rw = smart_resize(h, w, cfg.patch_size * cfg.spatial_merge_size,
+                              min_pixels, max_pixels)
+    pil = pil.resize((rw, rh), Image.BICUBIC)
+    arr = np.asarray(pil, np.float32) / 255.0
+    arr = (arr - np.asarray(CLIP_IMAGE_MEAN, np.float32)) \
+        / np.asarray(CLIP_IMAGE_STD, np.float32)
+    arr = arr.transpose(2, 0, 1)  # CHW
+    t, C, P, M = cfg.temporal_patch_size, 3, cfg.patch_size, \
+        cfg.spatial_merge_size
+    frames = np.repeat(arr[None], t, axis=0)  # temporal repeat for images
+    grid_t = 1
+    grid_h, grid_w = rh // P, rw // P
+    patches = frames.reshape(grid_t, t, C, grid_h // M, M, P,
+                             grid_w // M, M, P)
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(grid_t * grid_h * grid_w, C * t * P * P)
+    return flat.astype(np.float32), (grid_t, grid_h, grid_w)
+
+
+def vision_rot_pos_ids(grid: Tuple[int, int, int],
+                       cfg: QwenVisionConfig) -> np.ndarray:
+    """[S, 2] (h, w) rotary position ids in merge-interleaved order
+    (HF rot_pos_emb)."""
+    t, h, w = grid
+    M = cfg.spatial_merge_size
+    hpos = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    wpos = np.broadcast_to(np.arange(w)[None, :], (h, w))
+
+    def interleave(x):
+        return x.reshape(h // M, M, w // M, M).transpose(0, 2, 1,
+                                                         3).reshape(-1)
+
+    ids = np.stack([interleave(hpos), interleave(wpos)], axis=-1)
+    return np.tile(ids, (t, 1))
+
+
+def vision_rot_pos_emb(grid: Tuple[int, int, int],
+                       cfg: QwenVisionConfig) -> np.ndarray:
+    """[S, head_dim/2] rotary angles (h-half then w-half per position)."""
+    ids = vision_rot_pos_ids(grid, cfg)
+    dim = cfg.head_dim // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float64)
+                                  / dim))
+    freqs = ids[..., None].astype(np.float64) * inv_freq  # [S, 2, dim/2]
+    return freqs.reshape(ids.shape[0], -1).astype(np.float32)
+
+
+def window_partition(grid: Tuple[int, int, int], cfg: QwenVisionConfig
+                     ) -> Tuple[np.ndarray, List[int]]:
+    """(window_index [S/merge_unit], cu_window_seqlens) —
+    HF get_window_index for one grid."""
+    t, h, w = grid
+    M = cfg.spatial_merge_size
+    lh, lw = h // M, w // M
+    vit_ws = cfg.window_size // M // cfg.patch_size
+    index = np.arange(t * lh * lw).reshape(t, lh, lw)
+    pad_h = vit_ws - lh % vit_ws
+    pad_w = vit_ws - lw % vit_ws
+    nwh = (lh + pad_h) // vit_ws
+    nww = (lw + pad_w) // vit_ws
+    padded = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+    padded[:, :lh, :lw] = index
+    padded = padded.reshape(t, nwh, vit_ws, nww, vit_ws)
+    padded = padded.transpose(0, 1, 3, 2, 4).reshape(t, nwh * nww, vit_ws,
+                                                     vit_ws)
+    seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)
+    flat = padded.reshape(-1)
+    window_index = flat[flat != -100]
+    cu = [0]
+    acc = 0
+    for s in seqlens:
+        acc += int(s) * cfg.merge_unit
+        if acc != cu[-1]:
+            cu.append(acc)
+    return window_index, cu
+
+
+def block_diag_mask(cu_seqlens: List[int], total: int) -> np.ndarray:
+    """Additive [total, total] mask: 0 within each [cu[i], cu[i+1])
+    segment, -inf across segments."""
+    mask = np.full((total, total), -3.4028235e38, np.float32)
+    for a, b in zip(cu_seqlens[:-1], cu_seqlens[1:]):
+        mask[a:b, a:b] = 0.0
+    return mask
+
+
+@dataclasses.dataclass
+class VisionInputs:
+    patches: np.ndarray        # [S, C*t*P*P], window-permuted
+    rot_pos_emb: np.ndarray    # [S, head_dim/2], window-permuted
+    window_mask: np.ndarray    # [S, S]
+    full_mask: np.ndarray      # [S, S]
+    reverse_index: np.ndarray  # [S/merge_unit] un-permute for outputs
+    grid: Tuple[int, int, int]
+
+    @property
+    def num_vision_tokens(self) -> int:
+        g = self.grid
+        return (g[0] * g[1] * g[2]) // 4
+
+
+def prepare_vision_inputs(image, cfg: QwenVisionConfig,
+                          min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
+                          max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
+                          fixed_resolution: Optional[int] = 448
+                          ) -> VisionInputs:
+    patches, grid = image_to_patches(image, cfg, min_pixels, max_pixels,
+                                     fixed_resolution)
+    return vision_inputs_from_patches(patches, grid, cfg)
+
+
+def vision_inputs_from_patches(patches: np.ndarray,
+                               grid: Tuple[int, int, int],
+                               cfg: QwenVisionConfig) -> VisionInputs:
+    S = patches.shape[0]
+    rope = vision_rot_pos_emb(grid, cfg)
+    window_index, cu_window = window_partition(grid, cfg)
+    mu = cfg.merge_unit
+    # permute patch rows and rope rows into window order (HF does this on
+    # the merge-unit-grouped view)
+    perm = (window_index[:, None] * mu + np.arange(mu)[None]).reshape(-1)
+    patches = patches[perm]
+    rope = rope[perm]
+    t, h, w = grid
+    full_cu = [0, t * h * w]
+    return VisionInputs(
+        patches=patches,
+        rot_pos_emb=rope,
+        window_mask=block_diag_mask(cu_window, S),
+        full_mask=block_diag_mask(full_cu, S),
+        reverse_index=np.argsort(window_index),
+        grid=grid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence assembly: chat template + 3D position ids
+# ---------------------------------------------------------------------------
+
+CHAT_PREFIX = ("<|im_start|>system\nYou are a helpful assistant."
+               "<|im_end|>\n<|im_start|>user\n<|vision_start|>")
+CHAT_MIDDLE = "<|vision_end|>"
+CHAT_SUFFIX = "<|im_end|>\n<|im_start|>assistant\n"
+
+
+def build_prompt_ids(tokenizer, prompt_text: str, num_vision_tokens: int,
+                     cfg: QwenVLConfig) -> np.ndarray:
+    """Token ids for the single-image chat prompt (image pads inlined)."""
+    pre = tokenizer.encode(CHAT_PREFIX)
+    mid = tokenizer.encode(CHAT_MIDDLE + prompt_text + CHAT_SUFFIX)
+    ids = (list(pre) + [cfg.image_token_id] * num_vision_tokens + list(mid))
+    return np.asarray(ids, np.int64)
+
+
+def rope_index_single(ids: np.ndarray, grid: Tuple[int, int, int],
+                      cfg: QwenVLConfig) -> Tuple[np.ndarray, int]:
+    """3D position ids [3, T] for one (text, image, text) sequence +
+    the mrope position delta for continuation (HF get_rope_index,
+    single-image case)."""
+    M = cfg.vision.spatial_merge_size
+    t, h, w = grid
+    lh, lw = h // M, w // M
+    img_pos = np.nonzero(ids == cfg.image_token_id)[0]
+    T = len(ids)
+    pos = np.zeros((3, T), np.int64)
+    if len(img_pos) == 0:
+        pos[:] = np.arange(T)
+        return pos, 0
+    st = int(img_pos[0])
+    n_img = len(img_pos)
+    assert n_img == t * lh * lw, (n_img, grid)
+    # text before image
+    pos[:, :st] = np.arange(st)
+    # image block
+    tt = np.repeat(np.arange(t), lh * lw)
+    hh = np.tile(np.repeat(np.arange(lh), lw), t)
+    ww = np.tile(np.tile(np.arange(lw), lh), t)
+    pos[0, st:st + n_img] = st + tt
+    pos[1, st:st + n_img] = st + hh
+    pos[2, st:st + n_img] = st + ww
+    # text after image
+    nxt = st + max(t, lh, lw)
+    rest = T - (st + n_img)
+    pos[:, st + n_img:] = nxt + np.arange(rest)
+    delta = int(pos.max()) + 1 - T
+    return pos, delta
