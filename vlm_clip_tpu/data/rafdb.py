@@ -195,7 +195,8 @@ class BatchLoader:
                  drop_last: bool = False, pad_final: bool = True,
                  seed: int = 42, prefetch: int = 2,
                  num_workers: int = 0,
-                 collate_fn: Optional[Callable] = None):
+                 collate_fn: Optional[Callable] = None,
+                 native: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -205,6 +206,40 @@ class BatchLoader:
         self.collate_fn = collate_fn or _collate
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # native C++ batch decode path (throughput; bilinear resampling)
+        self.native = False
+        if native:
+            from vlm_clip_tpu.data import native_loader
+
+            if isinstance(dataset, FolderDataset) \
+                    and native_loader.native_available():
+                self.native = True
+            else:
+                log.warning("native loading requested but unavailable for "
+                            "%s; using the PIL path",
+                            type(dataset).__name__)
+
+    def _native_batch(self, idxs) -> Batch:
+        from vlm_clip_tpu.data.native_loader import load_batch_native
+
+        paths = [self.dataset.samples[i][0] for i in idxs]
+        labels = np.asarray([self.dataset.samples[i][1] for i in idxs],
+                            np.int32)
+        images, ok = load_batch_native(paths, self.dataset.image_size)
+        if not ok.all():
+            for i in np.nonzero(~ok)[0]:
+                log.warning("native decode failed for %s; black dummy",
+                            paths[i])
+        n = len(idxs)
+        valid = np.ones((n,), bool)
+        if self.pad_final and n < self.batch_size:
+            reps = self.batch_size - n
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], reps, 0)])
+            labels = np.concatenate([labels, np.repeat(labels[-1:], reps)])
+            valid = np.concatenate([valid, np.zeros((reps,), bool)])
+        return Batch(images=images, labels=labels, paths=paths,
+                     valid=valid)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -229,6 +264,9 @@ class BatchLoader:
         def producer():
             try:
                 for idxs in self._index_batches():
+                    if self.native:
+                        q.put(self._native_batch(idxs))
+                        continue
                     items = [self.dataset[i] for i in idxs]
                     q.put(self.collate_fn(items, self.batch_size,
                                           self.pad_final))
