@@ -1,0 +1,149 @@
+"""Multi-chip semantics on the 8-device virtual CPU mesh.
+
+Checks the things that actually go wrong in SPMD ports: TP-sharded
+forward == single-device forward, DP-sharded global contrastive loss ==
+unsharded loss, and the full sharded train step matching the unsharded
+step numerically.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vlm_clip_tpu.core.config import AdapterConfig
+from vlm_clip_tpu.core.dtypes import FP32
+from vlm_clip_tpu.models import model_m as M
+from vlm_clip_tpu.models.clip import get_image_features, init_clip
+from vlm_clip_tpu.parallel.mesh import (DATA_AXIS, MeshConfig, create_mesh,
+                                        with_mesh)
+from vlm_clip_tpu.parallel.sharding import shard_params
+from vlm_clip_tpu.train.steps import init_train_state, make_m_train_step
+
+from helpers import tiny_clip_config
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_clip_config()
+    acfg = AdapterConfig(text_adapter_size=16, vision_adapter_size=16,
+                         shared_adapter_layers=2, shared_num_heads=4)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 999, (B, 10))),
+        "attention_mask": jnp.ones((B, 10), jnp.int32),
+        "pixel_values": jnp.asarray(rng.normal(size=(B, 3, 32, 32)),
+                                    jnp.float32),
+    }
+    return cfg, acfg, params, batch
+
+
+def test_tp_forward_matches_single_device(setup):
+    cfg, _, params, batch = setup
+    ref = get_image_features(params, batch["pixel_values"], cfg, FP32)
+    mesh = create_mesh(MeshConfig(data=2, model=4), jax.devices()[:8])
+    with with_mesh(mesh):
+        sp = shard_params(params, mesh)
+        px = jax.device_put(batch["pixel_values"],
+                            NamedSharding(mesh, P(DATA_AXIS)))
+        out = jax.jit(lambda p, x: get_image_features(p, x, cfg, FP32))(
+            sp, px)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_dp_contrastive_loss_matches_unsharded(setup):
+    cfg, acfg, params, batch = setup
+    adapters = M.init_m_adapters(jax.random.PRNGKey(1), cfg, acfg)
+    ref = M.m_forward(params, adapters, batch["input_ids"],
+                      batch["attention_mask"], batch["pixel_values"], cfg,
+                      acfg, FP32).loss
+    mesh = create_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    with with_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sa = jax.device_put(adapters, NamedSharding(mesh, P()))
+
+        def put(x):
+            return jax.device_put(x, NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+        loss = jax.jit(lambda p, a, i, m, px: M.m_forward(
+            p, a, i, m, px, cfg, acfg, FP32).loss)(
+            sp, sa, put(batch["input_ids"]), put(batch["attention_mask"]),
+            put(batch["pixel_values"]))
+    # the global BxB logit matrix must be identical across shardings
+    np.testing.assert_allclose(float(loss), float(ref), atol=1e-5)
+
+
+def test_sharded_train_step_matches_unsharded(setup):
+    cfg, acfg, params, batch = setup
+    # SGD so parameter deltas stay proportional to gradients; Adam's
+    # step-1 normalization amplifies reduction-order noise to ~lr scale.
+    tx = optax.sgd(0.1)
+
+    def fresh_state():
+        return init_train_state(jax.random.PRNGKey(2), cfg, acfg, tx,
+                                clip_params=jax.tree.map(jnp.array, params))
+
+    step = make_m_train_step(cfg, acfg, tx, FP32)
+    s_ref, m_ref = step(fresh_state(), batch)
+
+    mesh = create_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    with with_mesh(mesh):
+        state = fresh_state()
+        state = state._replace(
+            clip_params=shard_params(state.clip_params, mesh),
+            adapter_params=jax.device_put(state.adapter_params,
+                                          NamedSharding(mesh, P())),
+            opt_state=jax.device_put(state.opt_state,
+                                     NamedSharding(mesh, P())))
+
+        def put(x):
+            return jax.device_put(x, NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+        sharded_batch = {k: put(v) for k, v in batch.items()}
+        step_sh = make_m_train_step(cfg, acfg, tx, FP32)
+        s_sh, m_sh = step_sh(state, sharded_batch)
+
+    np.testing.assert_allclose(float(m_sh.loss), float(m_ref.loss),
+                               atol=1e-5)
+    # updated adapter params agree across shardings
+    ref_leaves = jax.tree.leaves(s_ref.adapter_params)
+    sh_leaves = jax.tree.leaves(s_sh.adapter_params)
+    for a, b in zip(ref_leaves, sh_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_orbax_full_resume(tmp_path, setup):
+    cfg, acfg, params, batch = setup
+    from vlm_clip_tpu.train import checkpoint as ckpt
+
+    tx = optax.adam(1e-3)
+    state = init_train_state(jax.random.PRNGKey(3), cfg, acfg, tx,
+                             clip_params=jax.tree.map(jnp.array, params))
+    step = make_m_train_step(cfg, acfg, tx, FP32)
+    state, _ = step(state, batch)
+    ckpt.save_train_state(str(tmp_path / "ck"), state)
+    # continue two more steps from memory
+    s_mem, _ = step(state, batch)
+    s_mem, _ = step(s_mem, batch)
+    # restore and replay
+    restored = ckpt.restore_train_state(
+        str(tmp_path / "ck"),
+        init_train_state(jax.random.PRNGKey(9), cfg, acfg, tx,
+                         clip_params=jax.tree.map(jnp.array, params)))
+    assert int(restored.step) == 1
+    s_res, _ = step(restored, batch)
+    s_res, _ = step(s_res, batch)
+    for a, b in zip(jax.tree.leaves(s_mem.adapter_params),
+                    jax.tree.leaves(s_res.adapter_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
