@@ -1,0 +1,104 @@
+"""Tokenizer tests: CLIP BPE on a synthetic vocab, padding contract,
+Qwen BPE round-trip on a synthetic tokenizer.json."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vlm_clip_tpu.data.tokenizer import (CLIPBPETokenizer, HashTokenizer,
+                                         bytes_to_unicode, get_tokenizer)
+
+
+def _tiny_clip_vocab():
+    """Byte vocab + </w> variants + a few merges, CLIP-style."""
+    b2u = bytes_to_unicode()
+    toks = list(b2u.values())
+    toks += [t + "</w>" for t in toks]
+    merges = [("h", "i</w>"), ("l", "o</w>"), ("h", "e"),
+              ("he", "l"), ("hel", "lo</w>")]
+    toks += ["".join(m) for m in merges]
+    toks += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(toks)}
+    return vocab, merges
+
+
+def test_clip_bpe_merges_and_padding():
+    vocab, merges = _tiny_clip_vocab()
+    tok = CLIPBPETokenizer(vocab, merges)
+    # "hi" -> single merged token h+i</w>
+    ids = tok.encode("hi")
+    assert ids == [vocab["hi</w>"]]
+    # "hello" -> he+l -> hel+lo</w> -> hello</w>
+    assert tok.encode("hello") == [vocab["hello</w>"]]
+    # lowercasing + whitespace cleanup
+    assert tok.encode("  HeLLo   hi ") == [vocab["hello</w>"],
+                                           vocab["hi</w>"]]
+    # batch contract: bos/eos, pad with eos, fixed length
+    ids_arr, mask = tok(["hi", "hello hi"], max_length=6)
+    assert ids_arr.shape == (2, 6) and mask.shape == (2, 6)
+    assert ids_arr[0, 0] == tok.bos_id
+    assert ids_arr[0, 2] == tok.eos_id
+    assert (ids_arr[0, 3:] == tok.pad_id).all()
+    assert mask[0].tolist() == [1, 1, 1, 0, 0, 0]
+    # decode round trip
+    assert tok.decode(tok.encode("hello hi")) == "hello hi"
+
+
+def test_clip_bpe_truncation_keeps_eos():
+    vocab, merges = _tiny_clip_vocab()
+    tok = CLIPBPETokenizer(vocab, merges)
+    ids_arr, mask = tok(["hello hello hello hello"], max_length=4)
+    assert ids_arr.shape == (1, 4)
+    assert ids_arr[0, -1] == tok.eos_id
+    assert mask[0].sum() == 4
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer(1000)
+    a = tok.encode("a face showing panic")
+    b = tok.encode("a face showing panic")
+    assert a == b and len(a) == 4
+    assert all(t < min(tok.bos_id, tok.eos_id) for t in a)
+    ids, mask = tok(["x", "a longer sentence here"], max_length=8)
+    assert ids.shape == (2, 8)
+    # argmax pooling lands on eos (highest id before padding)
+    assert ids[0].argmax() in (0, 2) or True  # eos==pad: first max is eos
+    assert int(np.argmax(ids[0])) == 2  # position of eos for 1-word text
+
+
+def test_get_tokenizer_fallback():
+    tok = get_tokenizer(vocab_json="/nonexistent/v.json",
+                        merges_txt="/nonexistent/m.txt", vocab_size=500)
+    assert isinstance(tok, HashTokenizer)
+
+
+def test_qwen_bpe_roundtrip(tmp_path):
+    from vlm_clip_tpu.vlm.qwen import QwenBPETokenizer
+
+    b2u = bytes_to_unicode()
+    base = list(b2u.values())
+    # ranks matter: greedy BPE must pick (Ġ,h) before (h,i) for " hi"
+    merges = [["Ġ", "h"], ["Ġh", "i"], ["h", "i"]]
+    vocab = {t: i for i, t in enumerate(base)}
+    for m in merges:
+        vocab["".join(m)] = len(vocab)
+    data = {
+        "model": {"vocab": vocab, "merges": merges},
+        "added_tokens": [
+            {"content": "<|im_start|>", "id": len(vocab)},
+            {"content": "<|im_end|>", "id": len(vocab) + 1},
+        ],
+    }
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(data))
+    tok = QwenBPETokenizer(str(path))
+    ids = tok.encode("hi hi")
+    assert ids[0] == vocab["hi"]
+    assert ids[1] == vocab["Ġhi"]
+    # special tokens are atomic
+    ids2 = tok.encode("<|im_start|>hi<|im_end|>")
+    assert ids2[0] == data["added_tokens"][0]["id"]
+    assert ids2[-1] == data["added_tokens"][1]["id"]
+    assert tok.decode(ids) == "hi hi"
+    assert tok.decode(ids2) == "hi"  # specials skipped

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--full-finetune", action="store_true",
                    help="unfreeze the CLIP backbone (model_m.py:72-75)")
+    p.add_argument("--schedule", default="linear",
+                   choices=["constant", "linear", "cosine"],
+                   help="cosine + --full-finetune = the AdamW+cosine "
+                        "full fine-tune recipe")
     p.add_argument("--image-size", type=int, default=None,
                    help="defaults to the model config image size")
     p.add_argument("--seed", type=int, default=42)
@@ -65,7 +69,8 @@ def main(argv=None) -> None:
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, max_grad_norm=args.max_grad_norm,
         output_dir=args.output_dir, num_epochs_hint=args.num_epochs,
-        freeze_clip=not args.full_finetune, seed=args.seed)
+        freeze_clip=not args.full_finetune, schedule=args.schedule,
+        seed=args.seed)
     history = trainer.train(args.num_epochs, save_every=args.save_every,
                             eval_every=args.eval_every)
     log.info("training history: %s", history)

@@ -114,6 +114,60 @@ def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def fold_image_normalization(vision_params: Params,
+                             mean=None, std=None) -> Params:
+    """Fold ``(x/255 - mean)/std`` into the patch-embed weights.
+
+    Normalization is a per-channel affine map, and the patch embedding is
+    linear — so preprocessing folds into one weight rescale + bias:
+    ``norm(x) @ W = x @ W' + b'`` with ``W'[(c)] = W[(c)]/(255*std_c)`` and
+    ``b' = -sum_c (mean_c/std_c) * W[(c)]``. The image path then feeds
+    **uint8 HWC batches straight to the MXU**: 4x less host->device
+    traffic and no fp32 image ever materialized (the BASELINE.json
+    "on-TPU decode-to-patch-embed" north star). Use with
+    :func:`vision_tower_u8` / :func:`get_image_features_u8`.
+    """
+    from vlm_clip_tpu.core.config import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    mean = jnp.asarray(mean if mean is not None else CLIP_IMAGE_MEAN,
+                       jnp.float32)
+    std = jnp.asarray(std if std is not None else CLIP_IMAGE_STD,
+                      jnp.float32)
+    kernel = vision_params["patch_embedding"]["kernel"].astype(jnp.float32)
+    # kernel layout [P, P, 3, H]
+    scaled = kernel / (255.0 * std)[None, None, :, None]
+    bias = -jnp.einsum("c,pqch->h", mean / std, kernel)
+    out = dict(vision_params)
+    out["patch_embedding"] = {"kernel": scaled, "bias": bias}
+    return out
+
+
+def patchify_hwc(u8: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, S, S, 3] (HWC, uint8 or float) -> [B, N, patch*patch*3] with the
+    same (ph, pw, c) flattening order as :func:`patchify`."""
+    B, H, W, C = u8.shape
+    gh, gw = H // patch, W // patch
+    x = u8.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def vision_tower_u8(p_folded: Params, u8_hwc: jnp.ndarray,
+                    cfg: VisionConfig, policy: DTypePolicy = FP32,
+                    remat: bool = False) -> TowerOutput:
+    """Vision tower on raw uint8 HWC batches; requires params through
+    :func:`fold_image_normalization`."""
+    B = u8_hwc.shape[0]
+    x = patchify_hwc(u8_hwc, cfg.patch_size).astype(policy.compute_dtype)
+    kernel = p_folded["patch_embedding"]["kernel"].reshape(
+        -1, cfg.hidden_size)
+    x = jnp.dot(x, kernel.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    x = (x + p_folded["patch_embedding"]["bias"].astype(jnp.float32)
+         ).astype(policy.compute_dtype)
+    return _vision_tower_tail(p_folded, x, B, cfg, policy, remat)
+
+
 def vision_tower(p: Params, pixel_values: jnp.ndarray, cfg: VisionConfig,
                  policy: DTypePolicy = FP32, remat: bool = False) -> TowerOutput:
     B = pixel_values.shape[0]
@@ -127,6 +181,13 @@ def vision_tower(p: Params, pixel_values: jnp.ndarray, cfg: VisionConfig,
     kernel = p["patch_embedding"]["kernel"].reshape(-1, cfg.hidden_size)
     x = jnp.dot(x, kernel.astype(x.dtype),
                 preferred_element_type=jnp.float32).astype(policy.compute_dtype)
+    return _vision_tower_tail(p, x, B, cfg, policy, remat)
+
+
+def _vision_tower_tail(p: Params, x: jnp.ndarray, B: int,
+                       cfg: VisionConfig, policy: DTypePolicy,
+                       remat: bool) -> TowerOutput:
+    x = x.astype(policy.compute_dtype)
     cls = jnp.broadcast_to(
         p["class_embedding"].astype(policy.compute_dtype),
         (B, 1, cfg.hidden_size))
@@ -186,6 +247,16 @@ def get_image_features(params: Params, pixel_values: jnp.ndarray,
                        remat: bool = False) -> jnp.ndarray:
     out = vision_tower(params["vision"], pixel_values, cfg.vision, policy,
                        remat)
+    return project(params["visual_projection"], out.pooled)
+
+
+def get_image_features_u8(params: Params, u8_hwc: jnp.ndarray,
+                          cfg: CLIPConfig, policy: DTypePolicy = FP32,
+                          remat: bool = False) -> jnp.ndarray:
+    """Projected image features from raw uint8 HWC batches; ``params``
+    must hold a vision subtree through fold_image_normalization."""
+    out = vision_tower_u8(params["vision"], u8_hwc, cfg.vision, policy,
+                          remat)
     return project(params["visual_projection"], out.pooled)
 
 

@@ -48,6 +48,7 @@ class CLIPAdapterTrainer:
                  warmup_steps: int = 0, max_grad_norm: float = 1.0,
                  output_dir: str = "./clip_adapter_checkpoints",
                  num_epochs_hint: int = 10, freeze_clip: bool = True,
+                 schedule: str = "linear",
                  policy: DTypePolicy = BF16, seed: int = 0):
         self.cfg = cfg
         self.acfg = acfg
@@ -61,7 +62,7 @@ class CLIPAdapterTrainer:
         tcfg = TrainConfig(learning_rate=learning_rate,
                            weight_decay=weight_decay,
                            warmup_steps=warmup_steps,
-                           max_grad_norm=max_grad_norm, schedule="linear")
+                           max_grad_norm=max_grad_norm, schedule=schedule)
         self.tx = make_optimizer(tcfg, total_steps)
         self.state = init_train_state(jax.random.PRNGKey(seed), cfg, acfg,
                                       self.tx, clip_params=clip_params,
