@@ -182,3 +182,32 @@ def test_full_finetune_step(setup):
     assert np.isfinite(float(metrics.loss))
     after = np.asarray(state2.clip_params["logit_scale"])
     assert not np.array_equal(before, after), "clip params frozen in FT mode"
+
+
+def test_clip_with_adapters_class_api(tmp_path, setup):
+    """Reference class surface: forward dict, feature getters,
+    save/load_adapter_weights methods (model_m.py:10-248)."""
+    cfg, _, clip_params, _ = setup
+    model = M.CLIPWithAdapters(clip_params, cfg, text_adapter_size=16,
+                               vision_adapter_size=16,
+                               shared_adapter_layers=2, policy=FP32)
+    model.acfg = model.acfg  # noqa: B018
+    ids, mask, px = _batch(cfg)
+    out = model(input_ids=ids, attention_mask=mask, pixel_values=px)
+    assert set(out) == {"loss", "text_features", "image_features",
+                        "logits_per_text", "logits_per_image"}
+    assert np.isfinite(float(out["loss"]))
+    feats = model.get_image_features(px)
+    assert feats.shape == (ids.shape[0], cfg.projection_dim)
+    out2 = model(pixel_values=px, return_loss=False)
+    assert out2["text_features"] is None
+    path = str(tmp_path / "cls_adapters.pt")
+    model.save_adapter_weights(path)
+    before = np.asarray(
+        model.adapter_params["text_adapter"]["down"]["kernel"])
+    model.adapter_params = M.init_m_adapters(jax.random.PRNGKey(7), cfg,
+                                             model.acfg)
+    model.load_adapter_weights(path)
+    np.testing.assert_allclose(
+        np.asarray(model.adapter_params["text_adapter"]["down"]["kernel"]),
+        before, atol=1e-6)

@@ -1,0 +1,59 @@
+"""Infra utilities: device prefetch, profiling helpers, seq-axis mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_clip_tpu.data.device_prefetch import prefetch_to_device
+from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+from vlm_clip_tpu.utils.profiling import StepTimer, annotate, debug_mode
+
+
+def test_prefetch_to_device_order_and_placement():
+    items = [{"x": np.full((4, 2), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(items), size=2))
+    assert len(out) == 5
+    for i, item in enumerate(out):
+        assert isinstance(item["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(item["x"]),
+                                      items[i]["x"])
+
+
+def test_prefetch_with_mesh_shards_batch():
+    mesh = create_mesh(MeshConfig(data=8), jax.devices()[:8])
+    items = [np.arange(16, dtype=np.float32).reshape(16, 1)
+             for _ in range(3)]
+    out = list(prefetch_to_device(iter(items), size=2, mesh=mesh))
+    sh = out[0].sharding
+    assert sh.is_fully_replicated is False
+    np.testing.assert_array_equal(np.asarray(out[0]), items[0])
+
+
+def test_seq_axis_mesh():
+    mesh = create_mesh(MeshConfig(data=2, model=2, seq=2),
+                       jax.devices()[:8])
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "seq": 2}
+    with pytest.raises(ValueError):
+        create_mesh(MeshConfig(data=3, model=3), jax.devices()[:8])
+
+
+def test_step_timer_and_debug_mode():
+    t = StepTimer(warmup=1)
+    import time
+
+    for _ in range(5):
+        t.tick()
+        time.sleep(0.001)
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_s"] > 0
+
+    with debug_mode(nans=True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(Exception):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0))
+    assert not jax.config.jax_debug_nans
+
+    with annotate("test-scope"):
+        _ = jnp.ones((2, 2)) @ jnp.ones((2, 2))

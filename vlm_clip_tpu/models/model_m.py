@@ -140,6 +140,87 @@ def contrastive_loss(text_features: jnp.ndarray,
         logits_per_image
 
 
+class CLIPWithAdapters:
+    """Reference-API class wrapper (model_m.py:10-248) over the
+    functional pipeline: get_text_features / get_image_features /
+    forward(return_loss) / save_adapter_weights / load_adapter_weights,
+    with jitted compute paths."""
+
+    def __init__(self, clip_params: Params, cfg: CLIPConfig,
+                 text_adapter_size: int = 256,
+                 vision_adapter_size: int = 256,
+                 shared_adapter_layers: int = 2, freeze_clip: bool = True,
+                 use_text_adapter: bool = True,
+                 use_vision_adapter: bool = True,
+                 use_shared_adapters: bool = True,
+                 policy: DTypePolicy = BF16, seed: int = 0):
+        import functools
+
+        self.clip_params = clip_params
+        self.cfg = cfg
+        self.acfg = AdapterConfig(
+            text_adapter_size=text_adapter_size,
+            vision_adapter_size=vision_adapter_size,
+            shared_adapter_layers=shared_adapter_layers,
+            use_text_adapter=use_text_adapter,
+            use_vision_adapter=use_vision_adapter,
+            use_shared_adapters=use_shared_adapters)
+        self.freeze_clip = freeze_clip
+        self.policy = policy
+        self.adapter_params = init_m_adapters(
+            jax.random.PRNGKey(seed), cfg, self.acfg)
+        self._text = jax.jit(functools.partial(
+            m_get_text_features, cfg=cfg, acfg=self.acfg, policy=policy))
+        self._image = jax.jit(functools.partial(
+            m_get_image_features, cfg=cfg, acfg=self.acfg, policy=policy))
+        self._fwd = jax.jit(functools.partial(
+            m_forward, cfg=cfg, acfg=self.acfg, policy=policy,
+            return_loss=True))
+
+    def get_text_features(self, input_ids, attention_mask) -> jnp.ndarray:
+        return self._text(self.clip_params, self.adapter_params,
+                          jnp.asarray(input_ids),
+                          jnp.asarray(attention_mask))
+
+    def get_image_features(self, pixel_values) -> jnp.ndarray:
+        return self._image(self.clip_params, self.adapter_params,
+                           jnp.asarray(pixel_values))
+
+    def forward(self, input_ids=None, attention_mask=None,
+                pixel_values=None, return_loss: bool = True):
+        """Dict result mirroring model_m.py:127-176."""
+        if return_loss and input_ids is not None \
+                and pixel_values is not None:
+            out = self._fwd(self.clip_params, self.adapter_params,
+                            jnp.asarray(input_ids),
+                            jnp.asarray(attention_mask),
+                            jnp.asarray(pixel_values))
+            return {"loss": out.loss, "text_features": out.text_features,
+                    "image_features": out.image_features,
+                    "logits_per_text": out.logits_per_text,
+                    "logits_per_image": out.logits_per_image}
+        out = m_forward(
+            self.clip_params, self.adapter_params,
+            None if input_ids is None else jnp.asarray(input_ids),
+            None if attention_mask is None else jnp.asarray(attention_mask),
+            None if pixel_values is None else jnp.asarray(pixel_values),
+            self.cfg, self.acfg, self.policy, return_loss=False)
+        return {"text_features": out.text_features,
+                "image_features": out.image_features}
+
+    __call__ = forward
+
+    def save_adapter_weights(self, save_path: str) -> None:
+        from vlm_clip_tpu.train.checkpoint import save_adapter_weights
+
+        save_adapter_weights(save_path, self.adapter_params)
+
+    def load_adapter_weights(self, load_path: str) -> None:
+        from vlm_clip_tpu.train.checkpoint import load_adapter_weights
+
+        self.adapter_params = load_adapter_weights(load_path, self.acfg)
+
+
 def m_forward(clip_params: Params, adapter_params: Params,
               input_ids: Optional[jnp.ndarray],
               attention_mask: Optional[jnp.ndarray],

@@ -24,29 +24,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     data: int = -1   # -1: all remaining devices
     model: int = 1
+    # Sequence-parallel axis. The reference's sequences are tiny (77
+    # text tokens / <=577 patches — SURVEY.md §5.7), so SP is plumbing,
+    # not a perf lever here; the axis exists so video (frames x patches)
+    # and future long-context paths can shard activations.
+    seq: int = 1
 
 
 def create_mesh(cfg: MeshConfig = MeshConfig(),
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a 2-D ('data','model') mesh over the given (or all) devices.
+    """Build a ('data','model'[,'seq']) mesh over the given devices.
 
-    On a v5e-8 slice the default is an 8×1 mesh (pure DP); pass
-    ``MeshConfig(model=4)`` etc. to carve out a TP axis for the large towers
-    (ViT-L, Qwen-VLM).
+    On a v5e-8 slice the default is an 8x1 mesh (pure DP); pass
+    ``MeshConfig(model=4)`` etc. to carve out a TP axis for the large
+    towers (ViT-L, Qwen-VLM), and ``seq=k`` for a sequence axis.
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     n = devs.size
     model = cfg.model if cfg.model > 0 else 1
-    data = cfg.data if cfg.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    seq = cfg.seq if cfg.seq > 0 else 1
+    data = cfg.data if cfg.data > 0 else n // (model * seq)
+    if data * model * seq != n:
+        raise ValueError(f"mesh {data}x{model}x{seq} != {n} devices")
+    if seq == 1:
+        return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(devs.reshape(data, model, seq),
+                (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 _ACTIVE_MESH: Optional[Mesh] = None

@@ -39,7 +39,7 @@ def annotate(name: str):
 @contextlib.contextmanager
 def debug_mode(nans: bool = True):
     """Enable NaN checking inside jit for the scope (jax_debug_nans)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", nans)
     try:
         yield
