@@ -31,7 +31,7 @@ def main() -> None:
     import optax
 
     from vlm_clip_tpu.core.config import AdapterConfig, clip_preset
-    from vlm_clip_tpu.core.dtypes import BF16
+    from vlm_clip_tpu.core.dtypes import FAST
     from vlm_clip_tpu.models import model_m as M
     from vlm_clip_tpu.models.clip import init_clip
     from vlm_clip_tpu.train.steps import init_train_state, make_m_train_step
@@ -45,7 +45,9 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     tx = optax.adam(3e-4)
     state = init_train_state(rng, cfg, acfg, tx, freeze_clip=True)
-    step = make_m_train_step(cfg, acfg, tx, BF16, freeze_clip=True)
+    # FAST policy: bf16 LN/softmax inside the FROZEN towers (adapters and
+    # the loss stay fp32-stable) — see core/dtypes.py
+    step = make_m_train_step(cfg, acfg, tx, FAST, freeze_clip=True)
 
     kb = jax.random.PRNGKey(1)
     batch = {

@@ -26,6 +26,9 @@ class DTypePolicy:
             return DTypePolicy(compute_dtype=jnp.bfloat16)
         if name in ("float32", "fp32", "full"):
             return DTypePolicy(compute_dtype=jnp.float32)
+        if name == "fast":
+            return DTypePolicy(compute_dtype=jnp.bfloat16,
+                               stable_dtype=jnp.bfloat16)
         raise ValueError(f"unknown dtype policy {name!r}")
 
     def cast_compute(self, x):
@@ -37,3 +40,7 @@ class DTypePolicy:
 
 FP32 = DTypePolicy(compute_dtype=jnp.float32)
 BF16 = DTypePolicy(compute_dtype=jnp.bfloat16)
+# FAST: bf16 LN statistics + max-subtracted bf16 softmax inside the
+# FROZEN towers (~16% tower time at ViT-B/16 train shapes). Keep fp32
+# (BF16 policy) when fine-tuning the towers themselves.
+FAST = DTypePolicy(compute_dtype=jnp.bfloat16, stable_dtype=jnp.bfloat16)

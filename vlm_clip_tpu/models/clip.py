@@ -193,10 +193,13 @@ def _vision_tower_tail(p: Params, x: jnp.ndarray, B: int,
         (B, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["position_embedding"].astype(policy.compute_dtype)[None]
-    x = L.layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
+    x = L.layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps,
+                     policy.stable_dtype)
     x = L.encoder_stack(p["layers"], x, cfg.num_heads, cfg.layer_norm_eps,
-                        cfg.hidden_act, mask=None, remat=remat)
-    pooled = L.layer_norm(p["post_layernorm"], x[:, 0, :], cfg.layer_norm_eps)
+                        cfg.hidden_act, mask=None, remat=remat,
+                        stable_dtype=policy.stable_dtype)
+    pooled = L.layer_norm(p["post_layernorm"], x[:, 0, :],
+                          cfg.layer_norm_eps, policy.stable_dtype)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
 
@@ -222,8 +225,10 @@ def text_tower(p: Params, input_ids: jnp.ndarray,
     x = x + p["position_embedding"][:T].astype(policy.compute_dtype)[None]
     mask = _text_mask(attention_mask, T)
     x = L.encoder_stack(p["layers"], x, cfg.num_heads, cfg.layer_norm_eps,
-                        cfg.hidden_act, mask=mask, remat=remat)
-    x = L.layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
+                        cfg.hidden_act, mask=mask, remat=remat,
+                        stable_dtype=policy.stable_dtype)
+    x = L.layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps,
+                     policy.stable_dtype)
     if cfg.pool_by_argmax_ids:
         eos_pos = jnp.argmax(input_ids, axis=-1)
     else:

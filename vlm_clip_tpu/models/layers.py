@@ -54,12 +54,17 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
-def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
+               stable_dtype=jnp.float32) -> jnp.ndarray:
+    """LayerNorm with statistics in ``stable_dtype`` (fp32 default; bf16
+    under the FAST policy trades ~1e-3 feature accuracy for ~16% tower
+    time — only safe because the towers are frozen feature extractors)."""
+    xs = x.astype(stable_dtype)
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    d = xs - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + jnp.asarray(eps, stable_dtype))
+    y = y * p["scale"].astype(stable_dtype) + p["bias"].astype(stable_dtype)
     return y.astype(x.dtype)
 
 
@@ -77,11 +82,13 @@ ACTIVATIONS = {"quick_gelu": quick_gelu, "gelu": gelu_exact,
 
 
 def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
-        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        mask: Optional[jnp.ndarray] = None,
+        stable_dtype=jnp.float32) -> jnp.ndarray:
     """Multi-head attention. q_in [B,Tq,H], kv_in [B,Tk,H].
 
     ``mask`` is an additive bias broadcastable to [B, heads, Tq, Tk]
-    (0 where attended, NEG_INF where blocked). Softmax runs fp32.
+    (0 where attended, NEG_INF where blocked). Softmax runs in
+    ``stable_dtype`` (fp32 default; max-subtracted bf16 under FAST).
     """
     B, Tq, H = q_in.shape
     hd = H // num_heads
@@ -89,11 +96,21 @@ def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
     q = linear(p["q"], q_in).reshape(B, Tq, num_heads, hd)
     k = linear(p["k"], kv_in).reshape(B, -1, num_heads, hd)
     v = linear(p["v"], kv_in).reshape(B, -1, num_heads, hd)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if stable_dtype == jnp.float32:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+    else:
+        q = q * scale
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=stable_dtype)
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q_in.dtype), v,
                      preferred_element_type=jnp.float32).astype(q_in.dtype)
     out = out.reshape(B, Tq, H)
@@ -130,10 +147,11 @@ def init_mlp(rng, dim: int, hidden: int, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 def encoder_layer(p: Params, x: jnp.ndarray, num_heads: int, eps: float,
-                  act: str, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    h = layer_norm(p["ln1"], x, eps)
-    x = x + mha(p["attn"], h, h, num_heads, mask)
-    x = x + mlp(p["mlp"], layer_norm(p["ln2"], x, eps), act)
+                  act: str, mask: Optional[jnp.ndarray] = None,
+                  stable_dtype=jnp.float32) -> jnp.ndarray:
+    h = layer_norm(p["ln1"], x, eps, stable_dtype)
+    x = x + mha(p["attn"], h, h, num_heads, mask, stable_dtype)
+    x = x + mlp(p["mlp"], layer_norm(p["ln2"], x, eps, stable_dtype), act)
     return x
 
 
@@ -159,11 +177,13 @@ def init_encoder_stack(rng, num_layers: int, dim: int, hidden: int,
 
 def encoder_stack(p: Params, x: jnp.ndarray, num_heads: int, eps: float,
                   act: str, mask: Optional[jnp.ndarray] = None,
-                  remat: bool = False) -> jnp.ndarray:
+                  remat: bool = False,
+                  stable_dtype=jnp.float32) -> jnp.ndarray:
     """Run the scanned encoder. ``p`` holds stacked per-layer params."""
 
     def body(h, lp):
-        return encoder_layer(lp, h, num_heads, eps, act, mask), None
+        return encoder_layer(lp, h, num_heads, eps, act, mask,
+                             stable_dtype), None
 
     if remat:
         body = jax.checkpoint(body)
