@@ -190,10 +190,18 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
 
     Note the reference quirk: the residual for the attention block is the
     *normed* projected text (norm2 output), not the un-normed projection.
+
+    ``image`` may have batch dim 1 while text has batch N: the image-side
+    projection + norm then run ONCE and broadcast into attention. This is
+    the hot case — pipeline M feeds the constant vision position-embedding
+    table as the image (model_m.py:95-100), so per-element projection
+    would be pure duplicated work.
     """
     t = L.linear(p["text_proj"], text)
     im = L.linear(p["image_proj"], image)
     kv = L.layer_norm(p["norm1"], im, eps)
+    if kv.shape[0] == 1 and text.shape[0] != 1:
+        kv = jnp.broadcast_to(kv, (text.shape[0],) + kv.shape[1:])
     q = L.layer_norm(p["norm2"], t, eps)
     attn = L.mha(p["attn"], q, kv, num_heads)
     h = q + attn

@@ -81,10 +81,10 @@ def m_get_text_features(clip_params: Params, adapter_params: Params,
                           cfg.text.layer_norm_eps)
     if acfg.use_shared_adapters:
         # pseudo image sequence = vision position-embedding table
-        # (model_m.py:95-100 quirk)
+        # (model_m.py:95-100 quirk); batch dim stays 1 — the adapter
+        # projects it once and broadcasts post-projection
         img = clip_params["vision"]["position_embedding"][None].astype(
             x.dtype)
-        img = jnp.broadcast_to(img, (x.shape[0],) + img.shape[1:])
 
         def body(h, lp):
             return A.cross_modal_adapter(lp, h, img,
