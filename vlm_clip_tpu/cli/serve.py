@@ -1,0 +1,216 @@
+"""Minimal production serving endpoint: HTTP image -> emotion probs.
+
+The deployment story for the T/zero-shot models: a ThreadingHTTPServer
+front-end feeding a micro-batching worker — requests are coalesced for up
+to ``--batch-window-ms`` into one fixed-size padded device batch (single
+compiled shape, pad+mask like everywhere else), scored with the jitted
+predict path, and fanned back out. Endpoints:
+
+- ``POST /classify``  raw image bytes (jpeg/png) -> JSON {probs, label}
+- ``GET  /healthz``   liveness + model info
+
+Drive: ``python -m vlm_clip_tpu.cli.serve --port 8899 &`` then
+``curl -s --data-binary @face.jpg localhost:8899/classify``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class BatchingClassifier:
+    """Micro-batching inference worker over a jitted predict path."""
+
+    def __init__(self, model, image_size: int, max_batch: int = 8,
+                 window_ms: float = 10.0):
+        self.model = model
+        self.image_size = image_size
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.total_requests = 0
+        self.total_batches = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image_bytes: bytes, timeout: float = 30.0):
+        p = _Pending(image_bytes)
+        self.q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if p.error:
+            raise ValueError(p.error)
+        return p.result
+
+    def _loop(self) -> None:
+        import numpy as np
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from vlm_clip_tpu.core.config import EMOTIONS
+        from vlm_clip_tpu.data.preprocess import load_and_resize
+        from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+
+        while True:
+            first = self.q.get()
+            batch: List[_Pending] = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+
+            images = np.zeros((self.max_batch, self.image_size,
+                               self.image_size, 3), np.uint8)
+            ok = []
+            for i, p in enumerate(batch):
+                try:
+                    img = Image.open(io.BytesIO(p.image))
+                    images[i] = load_and_resize(img, self.image_size)
+                    ok.append(True)
+                except Exception as e:
+                    p.error = f"bad image: {e}"
+                    ok.append(False)
+            px = normalize_batch_tpu(jnp.asarray(images))
+            try:
+                probs = np.asarray(self.model.predict(px))
+            except Exception as e:
+                for p in batch:
+                    p.error = p.error or f"inference failed: {e}"
+                    p.event.set()
+                continue
+            self.total_requests += len(batch)
+            self.total_batches += 1
+            for i, p in enumerate(batch):
+                if ok[i]:
+                    row = probs[i]
+                    p.result = {
+                        "probs": {e: float(row[j])
+                                  for j, e in enumerate(EMOTIONS)},
+                        "label": EMOTIONS[int(row.argmax())],
+                        "confidence": float(row.max()),
+                    }
+                p.event.set()
+
+
+def make_handler(classifier: BatchingClassifier, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok", "model": model_name,
+                    "requests": classifier.total_requests,
+                    "batches": classifier.total_batches,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._json(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0 or length > 32 << 20:
+                self._json(400, {"error": "missing or oversized body"})
+                return
+            data = self.rfile.read(length)
+            try:
+                self._json(200, classifier.submit(data))
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._json(503, {"error": str(e)})
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Emotion classification "
+                                            "serving endpoint")
+    p.add_argument("--port", type=int, default=8899)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--clip-model-name", default="vit-base-patch32")
+    p.add_argument("--adapter-ckpt", default=None,
+                   help="optional T-adapter checkpoint")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=10.0)
+    args = p.parse_args(argv)
+
+    from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
+    from vlm_clip_tpu.models.model_t import (CLIPAdapterT,
+                                             ZeroShotEmotionRecognition)
+
+    clip_params, cfg = load_backbone(args.clip_model_name)
+    tokenizer = make_tokenizer(cfg)
+    if args.adapter_ckpt:
+        model = CLIPAdapterT(clip_params, cfg, tokenizer)
+        from vlm_clip_tpu.train.checkpoint import load_v_adapters
+
+        loaded = load_v_adapters(args.adapter_ckpt)
+        if loaded:
+            model.adapter_params.update(loaded)
+        model.update_emotion_embeddings()
+    else:
+        model = ZeroShotEmotionRecognition(clip_params, cfg, tokenizer)
+
+    # warm up: compile the fixed-shape predict path before taking traffic
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+
+    t0 = time.time()
+    dummy = jnp.zeros((args.max_batch, 3, cfg.vision.image_size,
+                       cfg.vision.image_size), jnp.float32)
+    np.asarray(model.predict(normalize_batch_tpu(jnp.zeros(
+        (args.max_batch, cfg.vision.image_size, cfg.vision.image_size, 3),
+        jnp.uint8))))
+    del dummy
+    print(f"warmup compile done in {time.time() - t0:.1f}s", flush=True)
+
+    classifier = BatchingClassifier(model, cfg.vision.image_size,
+                                    args.max_batch, args.batch_window_ms)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(classifier, cfg.name))
+    print(f"serving {cfg.name} on http://{args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, "
+          f"window={args.batch_window_ms}ms)", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
