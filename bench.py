@@ -26,7 +26,17 @@ A100_BASELINE_PAIRS_PER_S = 250.0  # fp32 eager torch estimate (see above)
 
 
 def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/vlm_clip_tpu_jaxcache")
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 
@@ -39,7 +49,7 @@ def main() -> None:
     cfg = clip_preset("vit-base-patch16")
     acfg = AdapterConfig(text_adapter_size=256, vision_adapter_size=256,
                          shared_adapter_layers=2)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = 10
 
     rng = jax.random.PRNGKey(0)

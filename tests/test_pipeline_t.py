@@ -114,3 +114,28 @@ def test_loader_padding_and_drop_last(synth_root):
     ld = BatchLoader(ds, batch_size=8, drop_last=True)
     assert all(b.valid.all() for b in ld)
     assert len(ld) == len(ds) // 8
+
+
+def test_feature_cache_equivalence(models, synth_root):
+    """Epoch-2+ training from cached features == recomputing the frozen
+    tower every epoch (the reference's behavior)."""
+    import jax
+
+    from vlm_clip_tpu.models.model_t import CLIPAdapterT
+    from vlm_clip_tpu.data.tokenizer import HashTokenizer
+    from vlm_clip_tpu.models.clip import init_clip
+
+    cfg = tiny_clip_config()
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(cfg.text.vocab_size)
+    ds = FolderDataset(str(synth_root), image_size=32)
+
+    def run(cache):
+        m = CLIPAdapterT(params, cfg, tok, bottleneck_dim=8, policy=FP32,
+                         seed=3)
+        loader = BatchLoader(ds, batch_size=14, shuffle=True,
+                             drop_last=True, seed=5)
+        return m.train(loader, num_epochs=3, learning_rate=1e-3,
+                       cache_image_features=cache)
+
+    np.testing.assert_allclose(run(True), run(False), atol=1e-5)

@@ -141,6 +141,7 @@ class Batch:
     valid: Optional[np.ndarray] = None       # [B] bool
     context_features: Optional[np.ndarray] = None  # [B, P] (pipeline V)
     contexts: Optional[List[str]] = None     # VLM descriptions (pipeline V)
+    indices: Optional[np.ndarray] = None     # [B] dataset indices
 
     @property
     def size(self) -> int:
@@ -265,11 +266,19 @@ class BatchLoader:
             try:
                 for idxs in self._index_batches():
                     if self.native:
-                        q.put(self._native_batch(idxs))
-                        continue
-                    items = [self.dataset[i] for i in idxs]
-                    q.put(self.collate_fn(items, self.batch_size,
-                                          self.pad_final))
+                        b = self._native_batch(idxs)
+                    else:
+                        items = [self.dataset[i] for i in idxs]
+                        b = self.collate_fn(items, self.batch_size,
+                                            self.pad_final)
+                    if hasattr(b, "indices"):
+                        padded = idxs + [idxs[-1]] * (
+                            self.batch_size - len(idxs)
+                            if self.pad_final else 0)
+                        b.indices = np.asarray(
+                            padded if len(padded) > len(idxs) else idxs,
+                            np.int64)
+                    q.put(b)
             finally:
                 q.put(sentinel)
 

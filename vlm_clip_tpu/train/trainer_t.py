@@ -5,12 +5,12 @@ two adapters, CE loss vs class labels, temperature read once, per-epoch
 class-embedding refresh. TPU-native design:
 
 - jitted train step with donated (params, opt_state) — zero-copy updates;
-- the frozen tower's pooled features are computed ONCE (first epoch) and
-  cached on device ([N, P] fp32 ~ a few MB), so epochs 2..E run pure
-  adapter math: two [B,P]x[P,K] matmuls per step. This is the
-  "encode-once, adapt-many" structure SURVEY.md §3.3 identifies; frozen
-  towers make it observationally identical to the reference's per-epoch
-  recompute.
+- the frozen tower's pooled features are computed ONCE per sample and
+  cached on device ([N, P] fp32, a few MB), keyed by dataset index — so
+  later epochs gather cached rows for whatever fresh shuffle the loader
+  produces. Epoch composition/order is EXACTLY the reference's (fresh
+  shuffle every epoch); only the redundant frozen-tower recompute is gone
+  (pinned by tests/test_pipeline_t.py::test_feature_cache_equivalence).
 """
 
 from __future__ import annotations
@@ -18,10 +18,11 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
@@ -46,6 +47,27 @@ def make_t_train_step(tx: optax.GradientTransformation, alpha: float,
     return step
 
 
+class FeatureCache:
+    """Per-sample frozen-feature cache keyed by dataset index."""
+
+    def __init__(self, n: int, dim: int):
+        self.feats = jnp.zeros((n, dim), jnp.float32)
+        self.have = np.zeros((n,), bool)
+
+    def lookup_or_compute(self, indices: Optional[np.ndarray], compute):
+        """Returns features for the batch; computes+stores on any miss."""
+        if indices is None:
+            return compute()
+        idx = np.asarray(indices)
+        if self.have[idx].all():
+            return jnp.take(self.feats, jnp.asarray(idx), axis=0)
+        feats = compute()
+        self.feats = self.feats.at[jnp.asarray(idx)].set(
+            feats.astype(jnp.float32))
+        self.have[idx] = True
+        return feats
+
+
 def train_t_adapters(model: "T.CLIPAdapterT", train_loader,
                      num_epochs: int = 5, learning_rate: float = 3e-4,
                      cache_image_features: bool = True
@@ -57,35 +79,24 @@ def train_t_adapters(model: "T.CLIPAdapterT", train_loader,
     scale = jnp.float32(model.temperature)
     step = make_t_train_step(tx, model.alpha, model.beta)
 
-    feature_cache: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    cache = FeatureCache(len(train_loader.dataset), model.feature_dim) \
+        if cache_image_features and hasattr(train_loader, "dataset") \
+        else None
     losses: List[float] = []
     for epoch in range(num_epochs):
         t0 = time.time()
         epoch_losses = []
-        if cache_image_features and feature_cache and epoch > 0:
-            batches = feature_cache
-        else:
-            batches = None
-        if batches is None:
-            new_cache = []
-            for batch in train_loader:
-                px = normalize_batch_tpu(jnp.asarray(batch.images))
-                feats = model.encode_images(px)
-                labels = jnp.asarray(batch.labels)
-                if cache_image_features:
-                    new_cache.append((feats, labels))
-                params, opt_state, loss = step(
-                    params, opt_state, feats, labels, model.bank.mean,
-                    scale)
-                epoch_losses.append(loss)
-            if cache_image_features:
-                feature_cache = new_cache
-        else:
-            for feats, labels in batches:
-                params, opt_state, loss = step(
-                    params, opt_state, feats, labels, model.bank.mean,
-                    scale)
-                epoch_losses.append(loss)
+        for batch in train_loader:
+            def compute(b=batch):
+                px = normalize_batch_tpu(jnp.asarray(b.images))
+                return model.encode_images(px)
+
+            feats = cache.lookup_or_compute(batch.indices, compute) \
+                if cache is not None else compute()
+            labels = jnp.asarray(batch.labels)
+            params, opt_state, loss = step(
+                params, opt_state, feats, labels, model.bank.mean, scale)
+            epoch_losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
         losses.append(mean_loss)
         log.info("epoch %d/%d loss %.4f (%.1fs)", epoch + 1, num_epochs,

@@ -20,6 +20,7 @@ import optax
 
 from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
 from vlm_clip_tpu.models import model_v as V
+from vlm_clip_tpu.train.trainer_t import FeatureCache
 
 log = logging.getLogger(__name__)
 
@@ -56,36 +57,28 @@ def train_model(model: "V.EnhancedCLIPAdapterV", train_loader,
     rng = jax.random.PRNGKey(seed)
     scale = model.clip_params["logit_scale"]
 
-    cache: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
+    cache = FeatureCache(len(train_loader.dataset), model.feature_dim) \
+        if cache_image_features and hasattr(train_loader, "dataset") \
+        else None
     losses: List[float] = []
     for epoch in range(num_epochs):
         t0 = time.time()
         epoch_losses = []
-        use_cache = cache_image_features and cache and epoch > 0
-        if not use_cache:
-            new_cache = []
-            for batch in train_loader:
-                px = normalize_batch_tpu(jnp.asarray(batch.images))
-                feats = model.encode_images(px)
-                ctx = None if batch.context_features is None \
-                    else jnp.asarray(batch.context_features)
-                labels = jnp.asarray(batch.labels)
-                if cache_image_features:
-                    new_cache.append((feats, ctx, labels))
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = step(
-                    params, opt_state, feats, ctx, labels,
-                    model.emotion_embedding_tensor, scale, sub)
-                epoch_losses.append(loss)
-            if cache_image_features:
-                cache = new_cache
-        else:
-            for feats, ctx, labels in cache:
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = step(
-                    params, opt_state, feats, ctx, labels,
-                    model.emotion_embedding_tensor, scale, sub)
-                epoch_losses.append(loss)
+        for batch in train_loader:
+            def compute(b=batch):
+                px = normalize_batch_tpu(jnp.asarray(b.images))
+                return model.encode_images(px)
+
+            feats = cache.lookup_or_compute(batch.indices, compute) \
+                if cache is not None else compute()
+            ctx = None if batch.context_features is None \
+                else jnp.asarray(batch.context_features)
+            labels = jnp.asarray(batch.labels)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, feats, ctx, labels,
+                model.emotion_embedding_tensor, scale, sub)
+            epoch_losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
         losses.append(mean_loss)
         msg = (f"Epoch {epoch + 1}/{num_epochs} - Average Training Loss: "
