@@ -72,9 +72,10 @@ def m_get_text_features(clip_params: Params, adapter_params: Params,
                         input_ids: jnp.ndarray,
                         attention_mask: Optional[jnp.ndarray],
                         cfg: CLIPConfig, acfg: AdapterConfig,
-                        policy: DTypePolicy = BF16) -> jnp.ndarray:
+                        policy: DTypePolicy = BF16,
+                        remat: bool = False) -> jnp.ndarray:
     out = C.text_tower(clip_params["text"], input_ids, attention_mask,
-                       cfg.text, policy)
+                       cfg.text, policy, remat)
     x = out.last_hidden_state
     if acfg.use_text_adapter:
         x = A.seq_adapter(adapter_params["text_adapter"], x,
@@ -98,9 +99,10 @@ def m_get_text_features(clip_params: Params, adapter_params: Params,
 def m_get_image_features(clip_params: Params, adapter_params: Params,
                          pixel_values: jnp.ndarray, cfg: CLIPConfig,
                          acfg: AdapterConfig,
-                         policy: DTypePolicy = BF16) -> jnp.ndarray:
+                         policy: DTypePolicy = BF16,
+                         remat: bool = False) -> jnp.ndarray:
     out = C.vision_tower(clip_params["vision"], pixel_values, cfg.vision,
-                         policy)
+                         policy, remat)
     x = out.last_hidden_state  # un-post-layernormed (quirk)
     if acfg.use_vision_adapter:
         x = A.seq_adapter(adapter_params["vision_adapter"], x,
@@ -226,18 +228,22 @@ def m_forward(clip_params: Params, adapter_params: Params,
               attention_mask: Optional[jnp.ndarray],
               pixel_values: Optional[jnp.ndarray], cfg: CLIPConfig,
               acfg: AdapterConfig, policy: DTypePolicy = BF16,
-              return_loss: bool = True) -> MForwardOutput:
+              return_loss: bool = True,
+              remat: bool = False) -> MForwardOutput:
     """forward(input_ids, attention_mask, pixel_values, return_loss)
-    (model_m.py:127-176)."""
+    (model_m.py:127-176). ``remat=True`` checkpoints each tower layer —
+    for full fine-tuning of the large towers (L/14@336) where saved
+    activations dominate HBM."""
     text_features = None
     image_features = None
     if input_ids is not None:
         text_features = m_get_text_features(
             clip_params, adapter_params, input_ids, attention_mask, cfg,
-            acfg, policy)
+            acfg, policy, remat)
     if pixel_values is not None:
         image_features = m_get_image_features(
-            clip_params, adapter_params, pixel_values, cfg, acfg, policy)
+            clip_params, adapter_params, pixel_values, cfg, acfg, policy,
+            remat)
     if return_loss and text_features is not None \
             and image_features is not None:
         loss, txt, img, lpt, lpi = contrastive_loss(

@@ -61,7 +61,8 @@ def _constrain_data(x):
 def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
                       tx: optax.GradientTransformation,
                       policy: DTypePolicy = BF16,
-                      freeze_clip: bool = True) -> Callable:
+                      freeze_clip: bool = True,
+                      remat: bool = False) -> Callable:
     """Build the donated jit train step: (state, batch) -> (state, metrics).
 
     batch = dict(input_ids, attention_mask, pixel_values).
@@ -78,7 +79,7 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
         mask = _constrain_data(batch.get("attention_mask"))
         px = _constrain_data(batch["pixel_values"])
         out = M.m_forward(clip_params, adapter_params, ids, mask, px, cfg,
-                          acfg, policy, return_loss=True)
+                          acfg, policy, return_loss=True, remat=remat)
         return out.loss
 
     # Donate only the trainable leaves + opt state: the frozen tower params
