@@ -109,3 +109,42 @@ def test_seq_adapter_fused_grads():
                           "x w1 b1 w2 b2 ln_scale ln_bias".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
+
+
+def test_contrastive_loss_fused_parity():
+    """Fused forward + analytic fused backward vs the XLA composition."""
+    from vlm_clip_tpu.models.model_m import contrastive_loss
+    from vlm_clip_tpu.ops.contrastive import contrastive_loss_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    B, D = 48, 64
+    txt = jax.random.normal(ks[0], (B, D), jnp.float32)
+    img = jax.random.normal(ks[1], (B, D), jnp.float32)
+    ls = jnp.float32(2.0)
+
+    ref_loss = contrastive_loss(txt, img, ls)[0]
+    got_loss = contrastive_loss_fused(txt, img, ls)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), atol=1e-5)
+
+    g_ref = jax.grad(lambda t, i, s: contrastive_loss(t, i, s)[0],
+                     argnums=(0, 1, 2))(txt, img, ls)
+    g_got = jax.grad(contrastive_loss_fused, argnums=(0, 1, 2))(txt, img,
+                                                                ls)
+    for a, b, name in zip(g_got, g_ref, ("txt", "img", "logit_scale")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=name)
+
+
+def test_contrastive_loss_fused_large_batch_fallback():
+    from vlm_clip_tpu.models.model_m import contrastive_loss
+    from vlm_clip_tpu.ops.contrastive import (MAX_FUSED_B,
+                                              contrastive_loss_fused)
+
+    B = MAX_FUSED_B + 8
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    txt = jax.random.normal(ks[0], (B, 16), jnp.float32)
+    img = jax.random.normal(ks[1], (B, 16), jnp.float32)
+    ls = jnp.float32(1.0)
+    np.testing.assert_allclose(
+        float(contrastive_loss_fused(txt, img, ls)),
+        float(contrastive_loss(txt, img, ls)[0]), atol=1e-5)

@@ -62,10 +62,14 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
                       tx: optax.GradientTransformation,
                       policy: DTypePolicy = BF16,
                       freeze_clip: bool = True,
-                      remat: bool = False) -> Callable:
+                      remat: bool = False,
+                      fused_loss: bool = False) -> Callable:
     """Build the donated jit train step: (state, batch) -> (state, metrics).
 
     batch = dict(input_ids, attention_mask, pixel_values).
+    ``fused_loss=True`` routes the contrastive head through the Pallas
+    kernel (ops/contrastive.py) — single-device only (under DP the XLA
+    path owns the cross-shard all_gather).
     """
 
     def loss_fn(trainable, static_clip, batch):
@@ -78,6 +82,15 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
         ids = _constrain_data(batch["input_ids"])
         mask = _constrain_data(batch.get("attention_mask"))
         px = _constrain_data(batch["pixel_values"])
+        if fused_loss:
+            from vlm_clip_tpu.ops.contrastive import contrastive_loss_fused
+
+            txt = M.m_get_text_features(clip_params, adapter_params, ids,
+                                        mask, cfg, acfg, policy, remat)
+            img = M.m_get_image_features(clip_params, adapter_params, px,
+                                         cfg, acfg, policy, remat)
+            return contrastive_loss_fused(txt, img,
+                                          clip_params["logit_scale"])
         out = M.m_forward(clip_params, adapter_params, ids, mask, px, cfg,
                           acfg, policy, return_loss=True, remat=remat)
         return out.loss
