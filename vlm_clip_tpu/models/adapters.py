@@ -96,13 +96,22 @@ def adapt_features(p: Params, x: jnp.ndarray, ratio: float, *,
     kernel (interpreter off-TPU).
     """
     dropout_active = dropout > 0.0 and not deterministic
-    if impl != "jnp" and not dropout_active and x.ndim == 2:
+    if impl != "jnp" and x.ndim == 2:
         from vlm_clip_tpu.ops import fused_adapter as F
 
         if impl == "fused" or F.fused_enabled():
-            return F.feature_adapter_blend_fused(
-                x, p["fc1"]["kernel"], p["fc1"]["bias"],
-                p["fc2"]["kernel"], p["fc2"]["bias"], ratio)
+            if not dropout_active:
+                return F.feature_adapter_blend_fused(
+                    x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                    p["fc2"]["kernel"], p["fc2"]["bias"], ratio)
+            if rng is not None:
+                # in-kernel counter-based dropout (mask realization
+                # differs from the jnp bernoulli path; same distribution)
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+                return F.feature_adapter_blend_fused(
+                    x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                    p["fc2"]["kernel"], p["fc2"]["bias"], ratio,
+                    dropout, seed)
     return residual_blend(
         feature_adapter(p, x, dropout=dropout, rng=rng,
                         deterministic=deterministic),

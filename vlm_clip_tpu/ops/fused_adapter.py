@@ -76,12 +76,37 @@ def _cdiv(a, b):
 # 1. feature adapter + blend + l2norm (T/V)
 # ===========================================================================
 
-def _feat_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref, y_ref):
+def _dropout_mask(shape, seed, keep_prob):
+    """Deterministic in-kernel dropout mask (remat of randomness).
+
+    Counter-based murmur-style hash over (row, col, seed, tile) — the
+    backward regenerates the identical mask from the same seed, and the
+    same code lowers on TPU Mosaic and the CPU interpreter (pltpu.prng_*
+    has no interpreter lowering)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    key = (seed.astype(jnp.uint32)
+           + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(1000003))
+    h = (rows * jnp.uint32(0x9E3779B1)) ^ (cols * jnp.uint32(0x85EBCA77)) \
+        ^ (key * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    threshold = jnp.uint32(keep_prob * 4294967295.0)
+    return (h < threshold).astype(jnp.float32) / keep_prob
+
+
+def _feat_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref,
+                     seed_ref, y_ref, *, dropout: float):
     x = x_ref[:].astype(jnp.float32)
     h = jnp.maximum(
         jnp.dot(x, w1_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
         + b1_ref[:].astype(jnp.float32), 0.0)
+    if dropout > 0.0:
+        h = h * _dropout_mask(h.shape, seed_ref[0], 1.0 - dropout)
     a = jnp.dot(h, w2_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) \
         + b2_ref[:].astype(jnp.float32)
@@ -91,8 +116,9 @@ def _feat_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref, y_ref):
     y_ref[:] = (z * inv).astype(y_ref.dtype)
 
 
-def _feat_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref, g_ref,
-                     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+def _feat_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref,
+                     seed_ref, g_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+                     db2_ref, *, dropout: float):
     i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)
     w1 = w1_ref[:].astype(jnp.float32)
@@ -100,10 +126,17 @@ def _feat_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref, g_ref,
     g = g_ref[:].astype(jnp.float32)
     r = r_ref[0]
 
-    # recompute forward intermediates (remat)
+    # recompute forward intermediates (remat, incl. the dropout mask —
+    # the per-tile seed regenerates the exact forward bits)
     pre = jnp.dot(x, w1, preferred_element_type=jnp.float32) \
         + b1_ref[:].astype(jnp.float32)
-    h = jnp.maximum(pre, 0.0)
+    relu = jnp.maximum(pre, 0.0)
+    if dropout > 0.0:
+        mask = _dropout_mask(relu.shape, seed_ref[0], 1.0 - dropout)
+        h = relu * mask
+    else:
+        mask = None
+        h = relu
     a = jnp.dot(h, w2, preferred_element_type=jnp.float32) \
         + b2_ref[:].astype(jnp.float32)
     z = r * a + (1.0 - r) * x
@@ -114,6 +147,8 @@ def _feat_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, r_ref, g_ref,
     dz = (g - y * jnp.sum(g * y, axis=-1, keepdims=True)) * inv
     da = r * dz
     dh = jnp.dot(da, w2.T, preferred_element_type=jnp.float32)
+    if mask is not None:
+        dh = dh * mask
     dh = jnp.where(pre > 0.0, dh, 0.0)
     dx = (1.0 - r) * dz + jnp.dot(dh, w1.T,
                                   preferred_element_type=jnp.float32)
@@ -152,22 +187,32 @@ def _gelu_grad(x):
     return Phi + x * phi
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def feature_adapter_blend_fused(x, w1, b1, w2, b2, ratio: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def feature_adapter_blend_fused(x, w1, b1, w2, b2, ratio: float,
+                                dropout: float = 0.0, seed=None):
     """y = l2norm(ratio*MLP_relu(x) + (1-ratio)*x), one fused kernel.
 
     x: [N, D]; w1: [D, K]; w2: [K, D]. Semantically identical to
-    adapters.adapt_features(dropout=0) — tested against it.
+    adapters.adapt_features — tested against it. With ``dropout`` > 0,
+    an in-kernel PRNG mask is applied between relu and fc2
+    (model_v.py:26-27 semantics); the backward regenerates the identical
+    mask from the same per-tile seed. ``seed``: int32 array.
     """
-    return _feat_fwd(x, w1, b1, w2, b2, ratio)
+    return _feat_fwd(x, w1, b1, w2, b2, ratio, dropout, seed)
 
 
-def _feat_fwd(x, w1, b1, w2, b2, ratio):
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+def _feat_fwd(x, w1, b1, w2, b2, ratio, dropout=0.0, seed=None):
     xp, n = _pad_rows(x, ROW_TILE)
     N, D = xp.shape
     r = jnp.asarray([ratio], jnp.float32)
     y = pl.pallas_call(
-        _feat_fwd_kernel,
+        functools.partial(_feat_fwd_kernel, dropout=dropout),
         grid=(N // ROW_TILE,),
         in_specs=[
             pl.BlockSpec((ROW_TILE, D), lambda i: (i, 0),
@@ -181,28 +226,30 @@ def _feat_fwd(x, w1, b1, w2, b2, ratio):
             pl.BlockSpec(b2.shape, lambda i: (0,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((ROW_TILE, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
         interpret=_interpret(),
-    )(xp, w1, b1, w2, b2, r)
+    )(xp, w1, b1, w2, b2, r, _seed_arr(seed))
     return y[:n]
 
 
-def _feat_fwd_rule(x, w1, b1, w2, b2, ratio):
-    return _feat_fwd(x, w1, b1, w2, b2, ratio), (x, w1, b1, w2, b2)
+def _feat_fwd_rule(x, w1, b1, w2, b2, ratio, dropout, seed=None):
+    return (_feat_fwd(x, w1, b1, w2, b2, ratio, dropout, seed),
+            (x, w1, b1, w2, b2, seed))
 
 
-def _feat_bwd_rule(ratio, res, g):
-    x, w1, b1, w2, b2 = res
+def _feat_bwd_rule(ratio, dropout, res, g):
+    x, w1, b1, w2, b2, seed = res
     xp, n = _pad_rows(x, ROW_TILE)
     gp, _ = _pad_rows(g, ROW_TILE, fill=0.0)
     N, D = xp.shape
     K = w1.shape[1]
     r = jnp.asarray([ratio], jnp.float32)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
-        _feat_bwd_kernel,
+        functools.partial(_feat_bwd_kernel, dropout=dropout),
         grid=(N // ROW_TILE,),
         in_specs=[
             pl.BlockSpec((ROW_TILE, D), lambda i: (i, 0),
@@ -215,6 +262,7 @@ def _feat_bwd_rule(ratio, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b2.shape, lambda i: (0,),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((ROW_TILE, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -237,9 +285,11 @@ def _feat_bwd_rule(ratio, res, g):
             jax.ShapeDtypeStruct((D,), jnp.float32),
         ],
         interpret=_interpret(),
-    )(xp, w1, b1, w2, b2, r, gp)
+    )(xp, w1, b1, w2, b2, r, _seed_arr(seed), gp)
+    dseed = None if seed is None else \
+        jnp.zeros(jnp.shape(seed), jax.dtypes.float0)
     return (dx[:x.shape[0]], dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), dseed)
 
 
 feature_adapter_blend_fused.defvjp(_feat_fwd_rule, _feat_bwd_rule)
