@@ -147,3 +147,31 @@ def test_orbax_full_resume(tmp_path, setup):
     for a, b in zip(jax.tree.leaves(s_mem.adapter_params),
                     jax.tree.leaves(s_res.adapter_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_qwen_tp_decode_matches_single_device():
+    """TP-sharded Qwen text forward == single-device (tiny cfg, CPU mesh)."""
+    from vlm_clip_tpu.parallel.sharding import qwen_param_rules
+    from vlm_clip_tpu.vlm import qwen_model as QM
+
+    tc = QM.QwenTextConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=8,
+        num_kv_heads=4, head_dim=16, vocab_size=512,
+        mrope_section=(2, 3, 3))
+    params = QM.init_text(jax.random.PRNGKey(0), tc)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 500, (1, 9)))
+    pos = jnp.broadcast_to(jnp.arange(9), (3, 1, 9))
+    embeds = params["embed_tokens"][ids]
+    causal = jnp.tril(jnp.ones((9, 9), bool))
+    mask = jnp.where(causal[None, None], 0.0, -3.4028235e38)
+
+    ref, _ = QM.text_forward(params, embeds, pos, tc, mask)
+
+    mesh = create_mesh(MeshConfig(data=2, model=4), jax.devices()[:8])
+    with with_mesh(mesh):
+        sp = shard_params(params, mesh, rules=qwen_param_rules())
+        out, _ = jax.jit(lambda p, e: QM.text_forward(p, e, pos, tc,
+                                                      mask))(sp, embeds)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=1e-3)

@@ -41,6 +41,24 @@ def clip_param_rules() -> Tuple[Tuple[str, P], ...]:
     return CLIP_PARAM_RULES
 
 
+# Qwen2.5-VL text decoder TP rules. GQA note: kv projections shard over
+# ``model`` only when num_kv_heads divides the axis (shard_params falls
+# back to replication otherwise — with 2 kv heads that means kv stays
+# replicated beyond model=2, which is the standard GQA-TP compromise).
+QWEN_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*/layers/attn/(q|k|v)/kernel$", P(None, None, MODEL_AXIS)),
+    (r".*/layers/attn/(q|k|v)/bias$", P(None, MODEL_AXIS)),
+    (r".*/layers/attn/o/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*/layers/mlp/(gate|up)/kernel$", P(None, None, MODEL_AXIS)),
+    (r".*/layers/mlp/down/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*", P()),
+)
+
+
+def qwen_param_rules() -> Tuple[Tuple[str, P], ...]:
+    return QWEN_PARAM_RULES
+
+
 def spec_for_path(path: str,
                   rules: Tuple[Tuple[str, P], ...] = CLIP_PARAM_RULES) -> P:
     for pat, spec in rules:
