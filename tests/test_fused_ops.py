@@ -187,3 +187,19 @@ def test_feature_adapter_fused_dropout():
     fd = (loss(w1 + delta) - loss(w1 - delta)) / (2 * eps)
     np.testing.assert_allclose(float(fd), float(g[3, 5]), rtol=2e-2,
                                atol=1e-3)
+
+
+def test_int4_pallas_matmul_matches_dequant():
+    from vlm_clip_tpu.ops.quant import (dequantize_weight,
+                                        quant_matmul_pallas_int4,
+                                        quantize_weight)
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    K, N_, M = 96, 40, 5  # ragged: exercises all three pads
+    w = jax.random.normal(ks[0], (K, N_), jnp.float32)
+    q = quantize_weight(w, bits=4)
+    x = jax.random.normal(ks[1], (M, K), jnp.float32)
+    ref = x @ dequantize_weight(q)
+    got = quant_matmul_pallas_int4(x, q.qweight, q.scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

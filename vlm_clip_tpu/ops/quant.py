@@ -65,11 +65,14 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
         amax = jnp.max(jnp.abs(w), axis=0)
         scale = jnp.where(amax > 0, amax / 7.0, 1.0)
         q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
-        out = q.shape[1]
-        if out % 2:
-            raise ValueError("int4 packing requires even out dim")
-        lo = (q[:, 0::2] + 8).astype(jnp.uint8)         # [in, out/2]
-        hi = (q[:, 1::2] + 8).astype(jnp.uint8)
+        if q.shape[0] % 2:
+            raise ValueError("int4 packing requires even in dim")
+        # ROW-pair packing: nibbles hold w[2k, n] (lo) and w[2k+1, n]
+        # (hi). This lets the Pallas kernel dequantize without any
+        # interleave/shape-cast (Mosaic rejects those): the matmul
+        # splits as x_even @ lo + x_odd @ hi.
+        lo = (q[0::2, :] + 8).astype(jnp.uint8)          # [in/2, out]
+        hi = (q[1::2, :] + 8).astype(jnp.uint8)
         packed = (lo | (hi << 4)).astype(jnp.uint8)
         return QuantizedLinear(packed, scale.astype(jnp.float32), 4, bias)
     raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -78,16 +81,23 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
 def dequantize_weight(q: QuantizedLinear) -> jnp.ndarray:
     if q.bits == 8:
         return q.qweight.astype(jnp.float32) * q.scale[None, :]
-    lo = (q.qweight & 0xF).astype(jnp.int32) - 8
-    hi = (q.qweight >> 4).astype(jnp.int32) - 8
-    out = jnp.stack([lo, hi], axis=-1).reshape(q.qweight.shape[0], -1)
+    lo = (q.qweight & 0xF).astype(jnp.int32) - 8   # rows 0, 2, 4, ...
+    hi = (q.qweight >> 4).astype(jnp.int32) - 8    # rows 1, 3, 5, ...
+    out = jnp.stack([lo, hi], axis=1).reshape(2 * q.qweight.shape[0], -1)
     return out.astype(jnp.float32) * q.scale[None, :]
 
 
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
                  use_pallas: bool = False) -> jnp.ndarray:
-    """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation."""
-    if use_pallas and q.bits == 8 and jax.default_backend() == "tpu" \
+    """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
+
+    int4 on TPU always uses the Pallas tiled kernel: XLA's nibble-unpack
+    materializes the full fp32 weight per call (measured 15x slower at
+    decode shapes); the kernel unpacks per-tile in VMEM.
+    """
+    if q.bits == 4 and jax.default_backend() == "tpu" and x.ndim == 2:
+        y = quant_matmul_pallas_int4(x, q.qweight, q.scale)
+    elif use_pallas and q.bits == 8 and jax.default_backend() == "tpu" \
             and x.ndim == 2:
         y = quant_matmul_pallas(x, q.qweight, q.scale)
     else:
@@ -109,8 +119,80 @@ def _qmm_kernel(x_ref, qw_ref, scale_ref, o_ref):
     x = x_ref[:].astype(jnp.float32)
     w = qw_ref[:].astype(jnp.float32)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o_ref[:] = (acc * scale_ref[:].astype(jnp.float32)[None, :]
-                ).astype(o_ref.dtype)
+    o_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+# int4: tiled matmul with per-tile nibble unpack in VMEM
+_I4_TM, _I4_TN, _I4_TK = 8, 512, 1024
+
+
+def _qmm4_kernel(xe_ref, xo_ref, packed_ref, scale_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = packed_ref[:].astype(jnp.int32)  # [TK/2, TN], row-pair packed
+    lo = (p & 0xF).astype(jnp.float32) - 8.0   # even input rows
+    hi = (p >> 4).astype(jnp.float32) - 8.0    # odd input rows
+    acc_ref[:] += (
+        jnp.dot(xe_ref[:].astype(jnp.float32), lo,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(xo_ref[:].astype(jnp.float32), hi,
+                  preferred_element_type=jnp.float32))
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+def quant_matmul_pallas_int4(x: jnp.ndarray, packed: jnp.ndarray,
+                             scale: jnp.ndarray) -> jnp.ndarray:
+    """x [M, K] @ unpack_int4(packed [K/2, N]) * scale[N].
+
+    Row-pair packing: the kernel computes x_even @ lo + x_odd @ hi with
+    the nibble unpack per-tile in VMEM (never materializing the fp
+    weight in HBM). x_even/x_odd are strided views taken in XLA.
+    """
+    M, K = x.shape
+    N = packed.shape[1]
+    xe, xo = x[:, 0::2], x[:, 1::2]  # [M, K/2]
+    K2 = K // 2
+    pm = (-M) % _I4_TM
+    pn = (-N) % _I4_TN
+    pk2 = (-K2) % (_I4_TK // 2)
+    if pm or pk2:
+        xe = jnp.pad(xe, ((0, pm), (0, pk2)))
+        xo = jnp.pad(xo, ((0, pm), (0, pk2)))
+    qp = jnp.pad(packed, ((0, pk2), (0, pn))) if (pk2 or pn) else packed
+    sp = jnp.pad(scale, (0, pn)) if pn else scale
+    Mp, K2p = xe.shape
+    Np = qp.shape[1]
+    y = pl.pallas_call(
+        _qmm4_kernel,
+        grid=(Mp // _I4_TM, Np // _I4_TN, K2p // (_I4_TK // 2)),
+        in_specs=[
+            pl.BlockSpec((_I4_TM, _I4_TK // 2), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_I4_TM, _I4_TK // 2), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_I4_TK // 2, _I4_TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            # scale as 2-D [1, TN]: 1-D blocked operands trip
+            # XLA-vs-Mosaic layout verification
+            pl.BlockSpec((1, _I4_TN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_I4_TM, _I4_TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        scratch_shapes=[pltpu.VMEM((_I4_TM, _I4_TN), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(xe, xo, qp, sp.reshape(1, -1))
+    return y[:M, :N]
 
 
 def quant_matmul_pallas(x: jnp.ndarray, qweight: jnp.ndarray,
@@ -132,7 +214,7 @@ def quant_matmul_pallas(x: jnp.ndarray, qweight: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, _TN), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i, j: (j,),
+            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TM, _TN), lambda i, j: (i, j),
