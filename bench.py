@@ -42,8 +42,6 @@ def main() -> None:
 
     from vlm_clip_tpu.core.config import AdapterConfig, clip_preset
     from vlm_clip_tpu.core.dtypes import FAST
-    from vlm_clip_tpu.models import model_m as M
-    from vlm_clip_tpu.models.clip import init_clip
     from vlm_clip_tpu.train.steps import init_train_state, make_m_train_step
 
     cfg = clip_preset("vit-base-patch16")

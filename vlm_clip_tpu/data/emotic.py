@@ -19,11 +19,10 @@ from __future__ import annotations
 import ast
 import dataclasses
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-from vlm_clip_tpu.data.preprocess import _to_pil
 
 # 26 EMOTIC categories (reference dataset/mat2py.py:272-274)
 EMOTIC_CATEGORIES: Tuple[str, ...] = (

@@ -23,11 +23,11 @@ from __future__ import annotations
 import argparse
 import csv
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
-from vlm_clip_tpu.data.emotic import EMOTIC_CATEGORIES, cat_to_one_hot
+from vlm_clip_tpu.data.emotic import cat_to_one_hot
 
 
 def _scalar(x):

@@ -18,7 +18,7 @@ uses ImageNet stats instead — see data/video.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -17,7 +17,7 @@ to the device for normalize + per-frame CLIP scoring in one jit.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,11 +14,11 @@ reference's external CNN pipeline).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
-from vlm_clip_tpu.data.emotic import EMOTIC_CATEGORIES, EmoticBatch
+from vlm_clip_tpu.data.emotic import EMOTIC_CATEGORIES
 
 CATEGORY_PROMPT = "a photo of a person feeling {}"
 

@@ -14,13 +14,12 @@ metrics) — no recompiles across a ragged dataset.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from vlm_clip_tpu.core.config import EMOTIONS
 from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
-from vlm_clip_tpu.data.rafdb import Batch
 
 
 @dataclasses.dataclass

@@ -23,7 +23,6 @@ accumulation under the mixed policy.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -12,13 +12,11 @@ Parameter conventions:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from vlm_clip_tpu.core.dtypes import DTypePolicy
 
 Params = Dict[str, Any]
 

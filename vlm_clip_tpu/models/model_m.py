@@ -28,7 +28,6 @@ XLA inserts the all_gather for the global BxB logit matrix
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -19,8 +19,6 @@ tests/test_fused_ops.py.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ same code path is testable on the CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

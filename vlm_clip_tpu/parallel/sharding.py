@@ -15,7 +15,7 @@ TP layout (Megatron-style, collectives ride ICI):
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

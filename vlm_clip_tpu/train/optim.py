@@ -12,7 +12,7 @@ replacement for the reference's name-substring filter (trainer.py:40-43).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import optax
 

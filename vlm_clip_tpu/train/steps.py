@@ -18,7 +18,6 @@ Two autodiff graphs (SURVEY.md §5 hard part 5):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from vlm_clip_tpu.core.dtypes import BF16, DTypePolicy
 from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
 from vlm_clip_tpu.train import checkpoint as ckpt
 from vlm_clip_tpu.train.optim import make_optimizer
-from vlm_clip_tpu.train.steps import (TrainState, init_train_state,
+from vlm_clip_tpu.train.steps import (init_train_state,
                                       make_m_eval_step, make_m_train_step)
 
 log = logging.getLogger(__name__)

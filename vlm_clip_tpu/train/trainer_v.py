@@ -12,7 +12,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

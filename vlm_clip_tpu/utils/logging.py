@@ -13,7 +13,6 @@ import logging
 import os
 import random
 from datetime import datetime
-from typing import Optional
 
 
 def setup_logging(log_dir: str = "logs", name: str = "training",

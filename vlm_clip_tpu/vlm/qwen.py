@@ -12,12 +12,12 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from vlm_clip_tpu.vlm.extractor import VLM_PROMPT, ClipTextEncoderMixin
-from vlm_clip_tpu.vlm.qwen_model import (KVCache, QwenVLConfig,
+from vlm_clip_tpu.vlm.qwen_model import (QwenVLConfig,
                                          init_kv_cache, text_forward,
                                          vision_forward)
 from vlm_clip_tpu.vlm.qwen_process import (VisionInputs, build_prompt_ids,

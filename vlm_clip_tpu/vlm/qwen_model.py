@@ -26,7 +26,6 @@ fixed image resolution policy) instead of python-loop per-window splits.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
