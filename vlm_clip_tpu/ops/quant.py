@@ -134,6 +134,9 @@ def _qmm4_kernel(xe_ref, xo_ref, packed_ref, scale_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     p = packed_ref[:].astype(jnp.int32)  # [TK/2, TN], row-pair packed
+    # fp32 unpack. (bf16 unpack measured 33% faster on the isolated big
+    # matmul but slightly SLOWER end-to-end at decode shapes and loosens
+    # accuracy — reverted.)
     lo = (p & 0xF).astype(jnp.float32) - 8.0   # even input rows
     hi = (p >> 4).astype(jnp.float32) - 8.0    # odd input rows
     acc_ref[:] += (
