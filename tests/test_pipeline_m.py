@@ -211,3 +211,32 @@ def test_clip_with_adapters_class_api(tmp_path, setup):
     np.testing.assert_allclose(
         np.asarray(model.adapter_params["text_adapter"]["down"]["kernel"]),
         before, atol=1e-6)
+
+
+def test_trainer_m_device_prefetch(tmp_path, setup):
+    """device_prefetch path trains identically to the direct path."""
+    cfg, acfg, clip_params, _ = setup
+    from vlm_clip_tpu.data.rafdb import Batch
+
+    class Loader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            rng = np.random.default_rng(3)
+            for _ in range(2):
+                yield Batch(
+                    images=rng.integers(0, 255, (4, 32, 32, 3),
+                                        dtype=np.uint8),
+                    labels=np.zeros((4,), np.int32),
+                    input_ids=rng.integers(3, 999, (4, 12)).astype(np.int32),
+                    attention_mask=np.ones((4, 12), np.int32))
+
+    def run(prefetch):
+        tr = CLIPAdapterTrainer(
+            clip_params, cfg, acfg, Loader(), learning_rate=1e-3,
+            output_dir=str(tmp_path / f"pf{prefetch}"), num_epochs_hint=1,
+            device_prefetch=prefetch, policy=FP32)
+        return tr.train(num_epochs=1)[0]["train_loss"]
+
+    np.testing.assert_allclose(run(0), run(2), atol=1e-6)

@@ -48,7 +48,7 @@ class CLIPAdapterTrainer:
                  warmup_steps: int = 0, max_grad_norm: float = 1.0,
                  output_dir: str = "./clip_adapter_checkpoints",
                  num_epochs_hint: int = 10, freeze_clip: bool = True,
-                 schedule: str = "linear",
+                 schedule: str = "linear", device_prefetch: int = 0,
                  policy: DTypePolicy = BF16, seed: int = 0):
         self.cfg = cfg
         self.acfg = acfg
@@ -56,6 +56,7 @@ class CLIPAdapterTrainer:
         self.val_dataloader = val_dataloader
         self.output_dir = output_dir
         self.freeze_clip = freeze_clip
+        self.device_prefetch = device_prefetch
         os.makedirs(output_dir, exist_ok=True)
 
         total_steps = len(train_dataloader) * num_epochs_hint
@@ -78,9 +79,18 @@ class CLIPAdapterTrainer:
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
-            for batch in self.train_dataloader:
-                self.state, metrics = self._step(self.state,
-                                                 _device_batch(batch))
+            if self.device_prefetch > 0:
+                # overlap H2D transfer with compute (double buffering)
+                from vlm_clip_tpu.data.device_prefetch import \
+                    prefetch_to_device
+
+                batches = prefetch_to_device(
+                    self.train_dataloader, size=self.device_prefetch,
+                    transform=_device_batch)
+            else:
+                batches = (_device_batch(b) for b in self.train_dataloader)
+            for batch in batches:
+                self.state, metrics = self._step(self.state, batch)
                 losses.append(metrics.loss)
             avg = float(jnp.mean(jnp.stack(losses)))
             rec = {"epoch": epoch + 1, "train_loss": avg,
