@@ -185,3 +185,27 @@ def test_quantized_path_close(converted):
     out4, _ = QM.text_forward(q4["text"], embeds, jnp.asarray(pos),
                               cfg.text, mask)
     assert np.isfinite(np.asarray(out4)).all()
+
+
+def test_generate_batch_matches_single(converted):
+    """Batched greedy decode rows == independent single-image decodes."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    grid = (1, 8, 8)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(11)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    visions = []
+    singles = []
+    for b in range(3):
+        patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+        vin = QP.vision_inputs_from_patches(patches, grid, cfg.vision)
+        visions.append(vin)
+        singles.append(gen.generate_from_ids(ids, vin, max_new_tokens=5))
+    batched = gen.generate_batch_from_ids(ids, visions, max_new_tokens=5)
+    assert batched == singles, (batched, singles)

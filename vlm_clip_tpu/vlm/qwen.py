@@ -153,6 +153,20 @@ class QwenVLGenerator:
                                          length + 1)
             return jnp.argmax(logits[0, -1]), cache
 
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def decode_step_batch(params, tokens, pos, cache, length):
+            # tokens [B]; identical positions across rows (fixed
+            # resolution + shared prompt => same sequence layout)
+            emb = params["embed_tokens"][tokens][:, None]  # [B, 1, H]
+            position_ids = jnp.broadcast_to(pos, (3,))[:, None, None]
+            cols = jnp.arange(cache.k.shape[2])
+            mask = jnp.where((cols <= length)[None, None, None], 0.0,
+                             -3.4028235e38)
+            logits, cache = text_forward(params, emb.astype(self.dtype),
+                                         position_ids, tcfg, mask, cache,
+                                         length + 1)
+            return jnp.argmax(logits[:, -1], axis=-1), cache
+
         @jax.jit
         def run_vision(vparams, patches, rope, wmask, fmask):
             return vision_forward(vparams, patches.astype(self.dtype),
@@ -160,7 +174,13 @@ class QwenVLGenerator:
 
         self._prefill = prefill
         self._decode_step = decode_step
+        self._decode_step_batch = decode_step_batch
         self._run_vision = run_vision
+        self._run_vision_batch = jax.jit(jax.vmap(
+            lambda vp, patches, rope, wmask, fmask: vision_forward(
+                vp, patches.astype(self.dtype), rope, wmask, fmask,
+                cfg.vision),
+            in_axes=(None, 0, None, None, None)))
 
     def embed_sequence(self, ids: np.ndarray, vision: VisionInputs):
         """Text embeds with vision embeds scattered over image-pad slots."""
@@ -186,6 +206,72 @@ class QwenVLGenerator:
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
         return self.generate_from_ids(ids, vision, max_new_tokens)
+
+    def generate_batch(self, images, prompt_text: str, tokenizer,
+                       max_new_tokens: int = 200,
+                       fixed_resolution: Optional[int] = 448
+                       ) -> List[List[int]]:
+        """Batched greedy decode over multiple images with one shared
+        prompt. All images use the fixed resolution, so the sequence
+        layout (and hence positions/masks) is identical across rows and
+        decode streams share every weight fetch — decode is
+        weight-streaming-bound, so throughput scales ~linearly with B.
+        """
+        import jax.numpy as jnp
+
+        visions = [prepare_vision_inputs(img, self.cfg.vision,
+                                         fixed_resolution=fixed_resolution)
+                   for img in images]
+        v0 = visions[0]
+        ids = build_prompt_ids(tokenizer, prompt_text,
+                               v0.num_vision_tokens, self.cfg)
+        return self.generate_batch_from_ids(ids, visions, max_new_tokens)
+
+    def generate_batch_from_ids(self, ids: np.ndarray,
+                                visions: List[VisionInputs],
+                                max_new_tokens: int = 200
+                                ) -> List[List[int]]:
+        import jax.numpy as jnp
+
+        B = len(visions)
+        v0 = visions[0]
+        pos, delta = rope_index_single(ids, v0.grid, self.cfg)
+        # batched vision tower (shared masks/rope: same grid everywhere)
+        patches = jnp.stack([jnp.asarray(v.patches) for v in visions])
+        vis = self._run_vision_batch(
+            self.params["vision"], patches, jnp.asarray(v0.rot_pos_emb),
+            jnp.asarray(v0.window_mask), jnp.asarray(v0.full_mask))
+        vis = vis[:, jnp.asarray(v0.reverse_index)]
+        embeds = self.params["text"]["embed_tokens"][jnp.asarray(ids)]
+        embeds = jnp.broadcast_to(embeds, (B,) + embeds.shape)
+        img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
+        embeds = embeds.at[:, jnp.asarray(img_slots)].set(
+            vis.astype(embeds.dtype))
+        embeds = embeds.astype(self.dtype)
+
+        T = len(ids)
+        cache = init_kv_cache(self.cfg.text, B, self.max_len, self.dtype)
+        pos3 = jnp.broadcast_to(jnp.asarray(pos)[:, None, :], (3, B, T))
+        logits, cache = self._prefill(self.params["text"], embeds, pos3,
+                                      cache)
+        tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        outs: List[List[int]] = [[] for _ in range(B)]
+        done = np.zeros((B,), bool)
+        length = T
+        for step in range(max_new_tokens):
+            done |= tokens == self.cfg.eos_token_id
+            if done.all():
+                break
+            for b in range(B):
+                if not done[b]:
+                    outs[b].append(int(tokens[b]))
+            next_pos = T + delta + step
+            tok_arr, cache = self._decode_step_batch(
+                self.params["text"], jnp.asarray(tokens, jnp.int32),
+                jnp.int32(next_pos), cache, jnp.int32(length))
+            tokens = np.asarray(tok_arr)
+            length += 1
+        return outs
 
     def generate_from_ids(self, ids: np.ndarray, vision: VisionInputs,
                           max_new_tokens: int = 200) -> List[int]:
