@@ -209,3 +209,175 @@ def test_generate_batch_matches_single(converted):
         singles.append(gen.generate_from_ids(ids, vin, max_new_tokens=5))
     batched = gen.generate_batch_from_ids(ids, visions, max_new_tokens=5)
     assert batched == singles, (batched, singles)
+
+
+def test_cached_decode_matches_uncached_rollout():
+    """Regression for the KV-cache off-by-one: prefill fills rows 0..T-1,
+    so the token at sequence position T+s must be WRITTEN at cache row
+    T+s and attend to columns <= T+s (prefix plus itself). Greedy decode
+    through the cache must equal an uncached full-forward rollout on
+    non-degenerate random weights."""
+    import jax
+
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg = tiny_cfgs()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = {"text": QM.init_text(k1, cfg.text),
+              "vision": QM.init_vision(k2, cfg.vision)}
+    vcfg = cfg.vision
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(5)
+    patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+    vin = QP.vision_inputs_from_patches(patches, (1, 8, 8), vcfg)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    max_new = 8
+    ours = gen.generate_from_ids(ids, vin, max_new_tokens=max_new)
+
+    # Uncached oracle: full forward over the growing sequence each step.
+    pos, delta = QP.rope_index_single(ids, vin.grid, cfg)
+    embeds = gen.embed_sequence(ids, vin)  # [1, T, H]
+    cur_pos = jnp.asarray(pos)[:, None, :]  # [3, 1, T]
+    T0 = len(ids)
+    oracle = []
+    for step in range(max_new):
+        T = embeds.shape[1]
+        mask = jnp.where(jnp.tril(jnp.ones((T, T), bool))[None, None],
+                         0.0, -3.4028235e38)
+        logits, _ = QM.text_forward(params["text"], embeds, cur_pos,
+                                    cfg.text, mask)
+        tok = int(np.asarray(logits[0, -1]).argmax())
+        if tok == EOS:
+            break
+        oracle.append(tok)
+        new_emb = params["text"]["embed_tokens"][tok][None, None]
+        embeds = jnp.concatenate([embeds, new_emb.astype(embeds.dtype)],
+                                 axis=1)
+        new_pos = jnp.full((3, 1, 1), T0 + delta + step, cur_pos.dtype)
+        cur_pos = jnp.concatenate([cur_pos, new_pos], axis=2)
+    assert ours == oracle, (ours, oracle)
+    assert len(set(ours)) > 1, "degenerate rollout cannot catch cache bugs"
+
+
+def test_warp_logits_matches_hf_processors():
+    """vlm/sampling.py vs the transformers logits-processor chain, in HF
+    order: repetition penalty -> temperature -> top-k -> top-p."""
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor, TemperatureLogitsWarper,
+        TopKLogitsWarper, TopPLogitsWarper)
+
+    from vlm_clip_tpu.vlm.sampling import SamplingConfig, warp_logits
+
+    rng = np.random.default_rng(9)
+    B, V = 3, 64
+    logits = rng.normal(size=(B, V)).astype(np.float32) * 3.0
+    hist = rng.integers(0, V, (B, 10))
+
+    scfg = SamplingConfig(do_sample=True, temperature=0.7, top_k=12,
+                          top_p=0.85, repetition_penalty=1.3)
+    presence = np.zeros((B, V), bool)
+    for b in range(B):
+        presence[b, hist[b]] = True
+    ours = np.asarray(warp_logits(jnp.asarray(logits),
+                                  jnp.asarray(presence), scfg))
+
+    t_scores = torch.from_numpy(logits.copy())
+    t_ids = torch.from_numpy(hist)
+    for proc in (RepetitionPenaltyLogitsProcessor(1.3),
+                 TemperatureLogitsWarper(0.7),
+                 TopKLogitsWarper(12), TopPLogitsWarper(0.85)):
+        t_scores = proc(t_ids, t_scores)
+    hf = t_scores.numpy()
+    finite = np.isfinite(hf)
+    np.testing.assert_array_equal(np.isfinite(ours), finite)
+    np.testing.assert_allclose(ours[finite], hf[finite], atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_sampled_generation_hf_filtered_logits(hf_model, converted):
+    """Sampled generation stays inside HF's filtered support: teacher-
+    force the HF model along OUR sampled path and check every chosen
+    token survives the HF processor chain (per VERDICT: compare
+    filtered logits, not RNG)."""
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor, TemperatureLogitsWarper,
+        TopKLogitsWarper, TopPLogitsWarper)
+
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+    from vlm_clip_tpu.vlm.sampling import SamplingConfig
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(2)
+    patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+    vin = QP.vision_inputs_from_patches(patches, (1, 8, 8), vcfg)
+
+    scfg = SamplingConfig(do_sample=True, temperature=0.9, top_k=20,
+                          top_p=0.95, repetition_penalty=1.1)
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    out = gen.generate_from_ids(ids, vin, max_new_tokens=5,
+                                sampling=scfg, seed=3)
+    assert len(out) >= 1
+
+    full = np.concatenate([ids, np.asarray(out, np.int64)])
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.from_numpy(full[None]),
+            attention_mask=torch.ones(1, len(full), dtype=torch.long),
+            pixel_values=torch.from_numpy(patches),
+            image_grid_thw=torch.tensor([[1, 8, 8]])).logits
+    procs = (RepetitionPenaltyLogitsProcessor(1.1),
+             TemperatureLogitsWarper(0.9), TopKLogitsWarper(20),
+             TopPLogitsWarper(0.95))
+    T0 = len(ids)
+    for i, tok in enumerate(out):
+        prefix = torch.from_numpy(full[None, :T0 + i])
+        scores = hf_logits[:, T0 + i - 1].clone()
+        for p in procs:
+            scores = p(prefix, scores)
+        assert torch.isfinite(scores[0, tok]), (i, tok)
+
+
+def test_generation_config_loading(tmp_path):
+    import json as _json
+
+    from vlm_clip_tpu.vlm.sampling import (GREEDY, load_generation_config)
+
+    # no file -> HF defaults (greedy)
+    assert load_generation_config(str(tmp_path)) == GREEDY
+    (tmp_path / "generation_config.json").write_text(_json.dumps({
+        "do_sample": True, "temperature": 0.1, "top_p": 0.001,
+        "top_k": 1, "repetition_penalty": 1.05,
+        "eos_token_id": [151645, 151643]}))
+    scfg = load_generation_config(str(tmp_path), primary_eos=151645)
+    assert scfg.do_sample and scfg.temperature == 0.1
+    assert scfg.top_k == 1 and scfg.top_p == 0.001
+    assert scfg.repetition_penalty == 1.05
+    assert scfg.extra_eos == (151643,)
+
+
+def test_generate_batch_rejects_mixed_grids(converted):
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(4)
+    vins = [QP.vision_inputs_from_patches(
+                rng.normal(size=(64, in_dim)).astype(np.float32),
+                (1, 8, 8), vcfg),
+            QP.vision_inputs_from_patches(
+                rng.normal(size=(32, in_dim)).astype(np.float32),
+                (1, 8, 4), vcfg)]
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * 16 + [3], np.int64)
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="shared sequence layout"):
+        gen.generate_batch_from_ids(ids, vins, max_new_tokens=2)

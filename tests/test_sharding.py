@@ -175,3 +175,45 @@ def test_qwen_tp_decode_matches_single_device():
                                                       mask))(sp, embeds)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_quantized_qwen_params_get_tp_specs():
+    """QuantizedLinear leaves must match the TP rules (qweight/scale
+    named keys), not silently fall through to replication — and the
+    sharded quantized forward must equal the single-device one."""
+    from vlm_clip_tpu.parallel.sharding import (partition_specs,
+                                                qwen_param_rules)
+    from vlm_clip_tpu.vlm import qwen_convert as QC
+    from vlm_clip_tpu.vlm import qwen_model as QM
+
+    tc = QM.QwenTextConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=8,
+        num_kv_heads=4, head_dim=16, vocab_size=512,
+        mrope_section=(2, 3, 3))
+    params = {"text": QM.init_text(jax.random.PRNGKey(1), tc)}
+    qparams = QC.quantize_qwen_params(params, bits=8)["text"]
+
+    specs = partition_specs(qparams, rules=qwen_param_rules())
+    attn = specs["layers"]["attn"]
+    assert attn["q"].qweight == P(None, None, "model"), attn["q"].qweight
+    assert attn["q"].scale == P(None, "model")
+    assert attn["o"].qweight == P(None, "model", None)
+    assert attn["o"].scale == P(None)
+    mlp = specs["layers"]["mlp"]
+    assert mlp["gate"].qweight == P(None, None, "model")
+    assert mlp["down"].qweight == P(None, "model", None)
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 500, (1, 7)))
+    pos = jnp.broadcast_to(jnp.arange(7), (3, 1, 7))
+    embeds = qparams["embed_tokens"][ids]
+    mask = jnp.where(jnp.tril(jnp.ones((7, 7), bool))[None, None], 0.0,
+                     -3.4028235e38)
+    ref, _ = QM.text_forward(qparams, embeds, pos, tc, mask)
+    mesh = create_mesh(MeshConfig(data=2, model=4), jax.devices()[:8])
+    with with_mesh(mesh):
+        sp = shard_params(qparams, mesh, rules=qwen_param_rules())
+        out, _ = jax.jit(lambda p, e: QM.text_forward(p, e, pos, tc,
+                                                      mask))(sp, embeds)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

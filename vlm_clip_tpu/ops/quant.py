@@ -37,8 +37,13 @@ class QuantizedLinear:
     bits: int = 8
     bias: Optional[jnp.ndarray] = None
 
-    def tree_flatten(self):
-        return (self.qweight, self.scale, self.bias), (self.bits,)
+    def tree_flatten_with_keys(self):
+        # Named keys so partition rules (parallel/sharding.py) can match
+        # .../q/qweight etc. — index keys would fall through to
+        # replication and defeat TP for quantized decode.
+        ga = jax.tree_util.GetAttrKey
+        return ((ga("qweight"), self.qweight), (ga("scale"), self.scale),
+                (ga("bias"), self.bias)), (self.bits,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -46,9 +51,7 @@ class QuantizedLinear:
         return cls(qweight=qweight, scale=scale, bits=aux[0], bias=bias)
 
 
-jax.tree_util.register_pytree_node(
-    QuantizedLinear, QuantizedLinear.tree_flatten,
-    QuantizedLinear.tree_unflatten)
+jax.tree_util.register_pytree_with_keys_class(QuantizedLinear)
 
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
@@ -223,5 +226,5 @@ def quant_matmul_pallas(x: jnp.ndarray, qweight: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(xp, qp, sp)
+    )(xp, qp, sp.reshape(1, -1))
     return y[:M, :N]

@@ -25,14 +25,14 @@ from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
 # (regex over '/'-joined path) -> PartitionSpec. First match wins.
 # Stacked per-layer params carry a leading layer axis.
 CLIP_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*/layers/attn/(q|k|v)/kernel$", P(None, None, MODEL_AXIS)),
-    (r".*/layers/attn/(q|k|v)/bias$", P(None, MODEL_AXIS)),
-    (r".*/layers/attn/out/kernel$", P(None, MODEL_AXIS, None)),
-    (r".*/layers/attn/out/bias$", P(None)),
-    (r".*/layers/mlp/fc1/kernel$", P(None, None, MODEL_AXIS)),
-    (r".*/layers/mlp/fc1/bias$", P(None, MODEL_AXIS)),
-    (r".*/layers/mlp/fc2/kernel$", P(None, MODEL_AXIS, None)),
-    (r".*/layers/mlp/fc2/bias$", P(None)),
+    (r"(?:.*/)?layers/attn/(q|k|v)/kernel$", P(None, None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/attn/(q|k|v)/bias$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/attn/out/kernel$", P(None, MODEL_AXIS, None)),
+    (r"(?:.*/)?layers/attn/out/bias$", P(None)),
+    (r"(?:.*/)?layers/mlp/fc1/kernel$", P(None, None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/mlp/fc1/bias$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/mlp/fc2/kernel$", P(None, MODEL_AXIS, None)),
+    (r"(?:.*/)?layers/mlp/fc2/bias$", P(None)),
     (r".*", P()),  # everything else replicated
 )
 
@@ -46,11 +46,21 @@ def clip_param_rules() -> Tuple[Tuple[str, P], ...]:
 # back to replication otherwise — with 2 kv heads that means kv stays
 # replicated beyond model=2, which is the standard GQA-TP compromise).
 QWEN_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*/layers/attn/(q|k|v)/kernel$", P(None, None, MODEL_AXIS)),
-    (r".*/layers/attn/(q|k|v)/bias$", P(None, MODEL_AXIS)),
-    (r".*/layers/attn/o/kernel$", P(None, MODEL_AXIS, None)),
-    (r".*/layers/mlp/(gate|up)/kernel$", P(None, None, MODEL_AXIS)),
-    (r".*/layers/mlp/down/kernel$", P(None, MODEL_AXIS, None)),
+    # fp and quantized (QuantizedLinear.qweight has the same [in, out]
+    # layout; int4 packs row PAIRS so its in-dim is in/2 — still sharded
+    # the same way, divisibility validated by shard_params). scale is
+    # per-OUTPUT-channel: it shards with the output dim and replicates
+    # when the input dim is the sharded one.
+    (r"(?:.*/)?layers/attn/(q|k|v)/(kernel|qweight)$",
+     P(None, None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/attn/(q|k|v)/(bias|scale)$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/attn/o/(kernel|qweight)$", P(None, MODEL_AXIS, None)),
+    (r"(?:.*/)?layers/attn/o/scale$", P(None)),
+    (r"(?:.*/)?layers/mlp/(gate|up)/(kernel|qweight)$",
+     P(None, None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/mlp/(gate|up)/scale$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?layers/mlp/down/(kernel|qweight)$", P(None, MODEL_AXIS, None)),
+    (r"(?:.*/)?layers/mlp/down/scale$", P(None)),
     (r".*", P()),
 )
 
@@ -74,6 +84,8 @@ def _path_str(key_path) -> str:
             parts.append(str(k.key))
         elif isinstance(k, jax.tree_util.SequenceKey):
             parts.append(str(k.idx))
+        elif isinstance(k, jax.tree_util.GetAttrKey):
+            parts.append(str(k.name))  # QuantizedLinear children
         else:
             parts.append(str(k))
     return "/".join(parts)

@@ -1,10 +1,12 @@
-"""Qwen2.5-VL generation glue: tokenizer, greedy decode, context extractor.
+"""Qwen2.5-VL generation glue: tokenizer, device-side decode, extractor.
 
 The end-to-end TPU replacement for the reference's
 ``VLMContextExtractor`` (model_v.py:43-142): describe a face image with
 Qwen2.5-VL, embed the description with CLIP. Generation runs as a jitted
-prefill + donated single-token decode steps over a static KV cache;
-weights can be fp32/bf16 or weight-only int8/int4 (vlm/qwen_convert.py).
+prefill followed by ONE jitted ``lax.while_loop`` over a static KV cache
+(eos detection and HF-parity sampling on device; one host sync per
+generation); weights can be fp32/bf16 or weight-only int8/int4
+(vlm/qwen_convert.py).
 """
 
 from __future__ import annotations
@@ -17,6 +19,9 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from vlm_clip_tpu.vlm.extractor import VLM_PROMPT, ClipTextEncoderMixin
+from vlm_clip_tpu.vlm.sampling import (GREEDY, SamplingConfig,
+                                       load_generation_config,
+                                       sample_token)
 from vlm_clip_tpu.vlm.qwen_model import (QwenVLConfig,
                                          init_kv_cache, text_forward,
                                          vision_forward)
@@ -111,7 +116,21 @@ class QwenBPETokenizer:
 
 
 class QwenVLGenerator:
-    """Greedy decoding over the JAX Qwen2.5-VL (single image, batch 1)."""
+    """Device-side decoding over the JAX Qwen2.5-VL.
+
+    The whole generation loop (eos detection, sampling, KV-cache update)
+    runs inside ONE jitted ``lax.while_loop`` — the host syncs exactly
+    once per generation, not per token. This replaces the reference's HF
+    ``generate(**inputs, max_new_tokens=200)`` call (model_v.py:108-118),
+    including its sampling semantics via ``SamplingConfig``
+    (vlm/sampling.py mirrors the HF logits-processor chain).
+
+    KV-cache indexing contract: prefill writes rows ``0..T-1``; the
+    decode step for the token at sequence position ``T+s`` writes row
+    ``length0+s`` and attends to columns ``<= length0+s`` (prefix plus
+    itself). tests/test_qwen_generation.py proves cached decode equals
+    an uncached full-forward rollout.
+    """
 
     def __init__(self, params: Dict, cfg: QwenVLConfig,
                  max_len: int = 1536, dtype=None):
@@ -131,8 +150,6 @@ class QwenVLGenerator:
         def prefill(params, embeds, position_ids, cache):
             T = embeds.shape[1]
             causal = jnp.tril(jnp.ones((T, T), bool))
-            cols = jnp.arange(cache.k.shape[2])
-            pad = cols[None, :] < T
             allowed = jnp.concatenate(
                 [causal, jnp.zeros((T, cache.k.shape[2] - T), bool)],
                 axis=1)
@@ -141,22 +158,9 @@ class QwenVLGenerator:
                                          tcfg, mask, cache, jnp.int32(0))
             return logits[:, -1], cache
 
-        @functools.partial(jax.jit, donate_argnames=("cache",))
-        def decode_step(params, token, pos, cache, length):
-            emb = params["embed_tokens"][token][None, None]  # [1, 1, H]
-            position_ids = jnp.broadcast_to(pos, (3,))[:, None, None]
-            cols = jnp.arange(cache.k.shape[2])
-            mask = jnp.where((cols <= length)[None, None, None], 0.0,
-                             -3.4028235e38)
-            logits, cache = text_forward(params, emb.astype(self.dtype),
-                                         position_ids, tcfg, mask, cache,
-                                         length + 1)
-            return jnp.argmax(logits[0, -1]), cache
-
-        @functools.partial(jax.jit, donate_argnames=("cache",))
-        def decode_step_batch(params, tokens, pos, cache, length):
-            # tokens [B]; identical positions across rows (fixed
-            # resolution + shared prompt => same sequence layout)
+        def decode_step_inner(params, tokens, pos, cache, length):
+            """tokens [B] at sequence rope position ``pos`` (scalar),
+            written at cache row ``length`` (= tokens already cached)."""
             emb = params["embed_tokens"][tokens][:, None]  # [B, 1, H]
             position_ids = jnp.broadcast_to(pos, (3,))[:, None, None]
             cols = jnp.arange(cache.k.shape[2])
@@ -164,8 +168,57 @@ class QwenVLGenerator:
                              -3.4028235e38)
             logits, cache = text_forward(params, emb.astype(self.dtype),
                                          position_ids, tcfg, mask, cache,
-                                         length + 1)
-            return jnp.argmax(logits[:, -1], axis=-1), cache
+                                         length)
+            return logits[:, -1], cache  # fp32 [B, V]
+
+        @functools.partial(jax.jit,
+                           static_argnames=("max_new", "scfg"),
+                           donate_argnames=("cache",))
+        def decode_loop(params, logits0, pos_start, cache, length0,
+                        presence, key, max_new, scfg):
+            """Full generation after prefill, on device.
+
+            Returns (buf [B, max_new] int32, n_out [B] int32, cache).
+            Row b's generation is buf[b, :n_out[b]] — eos excluded,
+            mirroring the reference's echo-trim (model_v.py:113-118).
+            """
+            B = logits0.shape[0]
+            stops = (cfg.eos_token_id,) + tuple(scfg.extra_eos)
+
+            def is_stop(tokens):
+                hit = tokens == jnp.int32(stops[0])
+                for e in stops[1:]:
+                    hit = hit | (tokens == jnp.int32(e))
+                return hit
+
+            key, sub = jax.random.split(key)
+            tok0 = sample_token(logits0, presence, sub, scfg)
+            buf0 = jnp.full((B, max_new), cfg.eos_token_id, jnp.int32)
+            state = (jnp.int32(0), tok0, jnp.zeros((B,), bool), buf0,
+                     jnp.zeros((B,), jnp.int32), cache, presence, key)
+
+            def cond(c):
+                step, _, done, *_ = c
+                return (step < max_new) & jnp.logical_not(done.all())
+
+            def body(c):
+                step, tokens, done, buf, n_out, cache, presence, key = c
+                done = done | is_stop(tokens)
+                buf = buf.at[:, step].set(
+                    jnp.where(done, jnp.int32(cfg.eos_token_id), tokens))
+                n_out = n_out + jnp.logical_not(done)
+                if scfg.needs_presence:
+                    presence = presence.at[jnp.arange(B), tokens].set(True)
+                logits, cache = decode_step_inner(
+                    params, tokens, pos_start + step, cache,
+                    length0 + step)
+                key, sub = jax.random.split(key)
+                tokens = sample_token(logits, presence, sub, scfg)
+                return (step + 1, tokens, done, buf, n_out, cache,
+                        presence, key)
+
+            state = jax.lax.while_loop(cond, body, state)
+            return state[3], state[4], state[5]
 
         @jax.jit
         def run_vision(vparams, patches, rope, wmask, fmask):
@@ -173,8 +226,7 @@ class QwenVLGenerator:
                                   rope, wmask, fmask, cfg.vision)
 
         self._prefill = prefill
-        self._decode_step = decode_step
-        self._decode_step_batch = decode_step_batch
+        self._decode_loop = decode_loop
         self._run_vision = run_vision
         self._run_vision_batch = jax.jit(jax.vmap(
             lambda vp, patches, rope, wmask, fmask: vision_forward(
@@ -198,19 +250,47 @@ class QwenVLGenerator:
             vis.astype(embeds.dtype))
         return embeds[None].astype(self.dtype)
 
+    def _run_decode_loop(self, logits, cache, T: int, delta: int,
+                         max_new_tokens: int,
+                         sampling: Optional[SamplingConfig],
+                         seed: int, prompt_ids) -> List[List[int]]:
+        """Shared tail of both generate paths: device loop + one fetch."""
+        import jax
+        import jax.numpy as jnp
+
+        scfg = sampling or GREEDY
+        B = logits.shape[0]
+        if scfg.needs_presence:
+            presence = jnp.zeros((B, self.cfg.text.vocab_size), bool)
+            presence = presence.at[:, jnp.asarray(np.unique(
+                prompt_ids))].set(True)
+        else:
+            presence = jnp.zeros((B, 1), bool)
+        buf, n_out, _ = self._decode_loop(
+            self.params["text"], logits, jnp.int32(T + delta), cache,
+            jnp.int32(T), presence, jax.random.PRNGKey(seed),
+            max_new_tokens, scfg)
+        buf = np.asarray(buf)
+        n_out = np.asarray(n_out)
+        return [buf[b, :n_out[b]].tolist() for b in range(B)]
+
     def generate(self, image, prompt_text: str, tokenizer,
                  max_new_tokens: int = 200,
-                 fixed_resolution: Optional[int] = 448) -> List[int]:
+                 fixed_resolution: Optional[int] = 448,
+                 sampling: Optional[SamplingConfig] = None,
+                 seed: int = 0) -> List[int]:
         vision = prepare_vision_inputs(image, self.cfg.vision,
                                        fixed_resolution=fixed_resolution)
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
-        return self.generate_from_ids(ids, vision, max_new_tokens)
+        return self.generate_from_ids(ids, vision, max_new_tokens,
+                                      sampling=sampling, seed=seed)
 
     def generate_batch(self, images, prompt_text: str, tokenizer,
                        max_new_tokens: int = 200,
-                       fixed_resolution: Optional[int] = 448
-                       ) -> List[List[int]]:
+                       fixed_resolution: Optional[int] = 448,
+                       sampling: Optional[SamplingConfig] = None,
+                       seed: int = 0) -> List[List[int]]:
         """Batched greedy decode over multiple images with one shared
         prompt. All images use the fixed resolution, so the sequence
         layout (and hence positions/masks) is identical across rows and
@@ -225,16 +305,25 @@ class QwenVLGenerator:
         v0 = visions[0]
         ids = build_prompt_ids(tokenizer, prompt_text,
                                v0.num_vision_tokens, self.cfg)
-        return self.generate_batch_from_ids(ids, visions, max_new_tokens)
+        return self.generate_batch_from_ids(ids, visions, max_new_tokens,
+                                            sampling=sampling, seed=seed)
 
     def generate_batch_from_ids(self, ids: np.ndarray,
                                 visions: List[VisionInputs],
-                                max_new_tokens: int = 200
-                                ) -> List[List[int]]:
+                                max_new_tokens: int = 200,
+                                sampling: Optional[SamplingConfig] = None,
+                                seed: int = 0) -> List[List[int]]:
         import jax.numpy as jnp
 
         B = len(visions)
         v0 = visions[0]
+        for i, v in enumerate(visions[1:], 1):
+            if v.grid != v0.grid or v.patches.shape != v0.patches.shape:
+                raise ValueError(
+                    f"generate_batch requires one shared sequence layout; "
+                    f"vision input {i} has grid {v.grid} vs {v0.grid} — "
+                    f"pass fixed_resolution (or bucket by grid) for "
+                    f"mixed-resolution batches")
         pos, delta = rope_index_single(ids, v0.grid, self.cfg)
         # batched vision tower (shared masks/rope: same grid everywhere)
         patches = jnp.stack([jnp.asarray(v.patches) for v in visions])
@@ -254,27 +343,13 @@ class QwenVLGenerator:
         pos3 = jnp.broadcast_to(jnp.asarray(pos)[:, None, :], (3, B, T))
         logits, cache = self._prefill(self.params["text"], embeds, pos3,
                                       cache)
-        tokens = np.asarray(jnp.argmax(logits, axis=-1))
-        outs: List[List[int]] = [[] for _ in range(B)]
-        done = np.zeros((B,), bool)
-        length = T
-        for step in range(max_new_tokens):
-            done |= tokens == self.cfg.eos_token_id
-            if done.all():
-                break
-            for b in range(B):
-                if not done[b]:
-                    outs[b].append(int(tokens[b]))
-            next_pos = T + delta + step
-            tok_arr, cache = self._decode_step_batch(
-                self.params["text"], jnp.asarray(tokens, jnp.int32),
-                jnp.int32(next_pos), cache, jnp.int32(length))
-            tokens = np.asarray(tok_arr)
-            length += 1
-        return outs
+        return self._run_decode_loop(logits, cache, T, delta,
+                                     max_new_tokens, sampling, seed, ids)
 
     def generate_from_ids(self, ids: np.ndarray, vision: VisionInputs,
-                          max_new_tokens: int = 200) -> List[int]:
+                          max_new_tokens: int = 200,
+                          sampling: Optional[SamplingConfig] = None,
+                          seed: int = 0) -> List[int]:
         import jax.numpy as jnp
 
         pos, delta = rope_index_single(ids, vision.grid, self.cfg)
@@ -283,20 +358,9 @@ class QwenVLGenerator:
         cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype)
         logits, cache = self._prefill(self.params["text"], embeds,
                                       jnp.asarray(pos)[:, None, :], cache)
-        token = int(jnp.argmax(logits[0]))
-        out: List[int] = []
-        length = T
-        for step in range(max_new_tokens):
-            if token == self.cfg.eos_token_id:
-                break
-            out.append(token)
-            next_pos = T + delta + step
-            token_arr, cache = self._decode_step(
-                self.params["text"], jnp.int32(token), jnp.int32(next_pos),
-                cache, jnp.int32(length))
-            token = int(token_arr)
-            length += 1
-        return out
+        return self._run_decode_loop(logits, cache, T, delta,
+                                     max_new_tokens, sampling, seed,
+                                     ids)[0]
 
 
 class QwenVLContextExtractor(ClipTextEncoderMixin):
@@ -311,7 +375,9 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                  weights_path: Optional[str] = None,
                  quant_bits: Optional[int] = 8, policy=None,
                  max_new_tokens: int = 200,
-                 fixed_resolution: Optional[int] = 448):
+                 fixed_resolution: Optional[int] = 448,
+                 sampling: Optional[SamplingConfig] = None,
+                 seed: int = 0):
         super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
         if not weights_path or not os.path.isdir(weights_path):
             raise FileNotFoundError(
@@ -332,13 +398,23 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         self.qwen_tokenizer = QwenBPETokenizer(tok_json)
         self.max_new_tokens = max_new_tokens
         self.fixed_resolution = fixed_resolution
+        # Like HF generate(): defaults come from the checkpoint's
+        # generation_config.json (model_v.py:109) unless overridden.
+        self.sampling = sampling if sampling is not None else \
+            load_generation_config(weights_path, self.qwen_cfg.eos_token_id)
+        self.seed = seed
+        self._n_generated = 0
 
     def extract_context_from_image(self, image) -> Optional[str]:
         try:
+            # distinct sampling key per image, deterministic per run
+            self._n_generated += 1
             ids = self.generator.generate(
                 image, VLM_PROMPT, self.qwen_tokenizer,
                 max_new_tokens=self.max_new_tokens,
-                fixed_resolution=self.fixed_resolution)
+                fixed_resolution=self.fixed_resolution,
+                sampling=self.sampling,
+                seed=self.seed + self._n_generated)
             text = self.qwen_tokenizer.decode(ids).strip()
             return text if text else None
         except Exception as e:  # None-on-error (model_v.py:124-126)
