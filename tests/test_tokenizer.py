@@ -102,3 +102,83 @@ def test_qwen_bpe_roundtrip(tmp_path):
     assert ids2[-1] == data["added_tokens"][1]["id"]
     assert tok.decode(ids) == "hi hi"
     assert tok.decode(ids2) == "hi"  # specials skipped
+
+
+def _write_clip_vocab_files(tmp_path):
+    vocab, merges = _tiny_clip_vocab()
+    vj = tmp_path / "vocab.json"
+    mt = tmp_path / "merges.txt"
+    vj.write_text(json.dumps(vocab))
+    mt.write_text("#version: 0.2\n" +
+                  "\n".join(" ".join(m) for m in merges))
+    return str(vj), str(mt), vocab
+
+
+def test_clip_bpe_exact_vs_hf_tokenizer(tmp_path):
+    """Token-for-token parity with HF CLIPTokenizer built from the SAME
+    vocab files — no HF cache, no downloads. Proves the BPE algorithm
+    (lowercasing, whitespace cleanup, </w> merges, bos/eos/pad) is exact,
+    so an installed real vocab asset yields exact real ids."""
+    pytest.importorskip("transformers")
+    from transformers import CLIPTokenizer
+
+    vj, mt, vocab = _write_clip_vocab_files(tmp_path)
+    ours = CLIPBPETokenizer.from_files(vj, mt)
+    hf = CLIPTokenizer(vocab_file=vj, merges_file=mt)
+
+    from vlm_clip_tpu.data.captions import get_emotion_descriptions
+    fixtures = ["hi", "hello", "  HeLLo   hi ", "hello, hi!", "don't",
+                "hi 123 hello"] + [
+        d for ds in get_emotion_descriptions().values() for d in ds[:1]]
+    for text in fixtures:
+        got = ours.encode(text)
+        want = hf(text, add_special_tokens=False)["input_ids"]
+        assert got == want, (text, got, want)
+    # padding contract vs HF (pad to max_length with eos, mask on real)
+    ids, mask = ours(fixtures[:3], max_length=16)
+    enc = hf(fixtures[:3], padding="max_length", max_length=16,
+             truncation=True)
+    np.testing.assert_array_equal(ids, np.asarray(enc["input_ids"]))
+    np.testing.assert_array_equal(mask, np.asarray(enc["attention_mask"]))
+
+
+def test_tokenizer_asset_install_and_probe(tmp_path, monkeypatch):
+    """install_tokenizer_asset + get_tokenizer asset-dir probing; the
+    vocab-less fallback warns loudly."""
+    import logging
+
+    from vlm_clip_tpu.data import tokenizer as T
+
+    vj, mt, vocab = _write_clip_vocab_files(tmp_path)
+    asset = tmp_path / "assets"
+    monkeypatch.setattr(T, "ASSET_DIR", str(asset))
+    # no asset yet -> hash fallback with a WARNING
+    with _caplog_warning(T) as rec:
+        tok = T.get_tokenizer()
+    assert isinstance(tok, T.HashTokenizer)
+    assert any("NOT CLIP-vocabulary-compatible" in m for m in rec)
+    # install from an HF-style dir, then get_tokenizer is exact
+    T.install_tokenizer_asset(str(tmp_path))
+    tok2 = T.get_tokenizer()
+    assert isinstance(tok2, T.CLIPBPETokenizer)
+    assert tok2.encode("hello") == [vocab["hello</w>"]]
+
+
+class _caplog_warning:
+    """Capture WARNING records from the vlm_clip_tpu logger."""
+
+    def __init__(self, _mod):
+        import logging
+
+        self.records = []
+        self.handler = logging.Handler()
+        self.handler.emit = lambda r: self.records.append(r.getMessage())
+        self.logger = logging.getLogger("vlm_clip_tpu")
+
+    def __enter__(self):
+        self.logger.addHandler(self.handler)
+        self.logger.setLevel(1)
+        return self.records
+
+    def __exit__(self, *a):
+        self.logger.removeHandler(self.handler)

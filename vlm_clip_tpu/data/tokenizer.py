@@ -216,17 +216,69 @@ class HashTokenizer(BaseTokenizer):
         return out
 
 
+# Repo-local asset dir: `python -m vlm_clip_tpu.cli.install_tokenizer`
+# materializes canonical vocab.json + merges.txt here from any source
+# (openai bpe gz, HF model dir, or HF tokenizer.json). Probed first so
+# one install makes every entry point token-exact.
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets", "clip_bpe")
+
+
+def install_tokenizer_asset(source: str,
+                            asset_dir: Optional[str] = None) -> str:
+    """Materialize canonical CLIP vocab.json + merges.txt into the repo
+    asset dir from ``source``: an openai ``bpe_simple_vocab_16e6.txt.gz``,
+    an HF model/tokenizer directory, or a direct vocab.json path (with
+    sibling merges.txt). Returns the asset dir. One-time; after this
+    :func:`get_tokenizer` is exact with no arguments.
+    """
+    dest = asset_dir or ASSET_DIR
+    os.makedirs(dest, exist_ok=True)
+    if source.endswith(".gz"):
+        tok = CLIPBPETokenizer.from_openai_gz(source)
+        merges = sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)
+        with open(os.path.join(dest, "vocab.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(tok.encoder, f, ensure_ascii=False)
+        with open(os.path.join(dest, "merges.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            f.write("\n".join(" ".join(m) for m in merges))
+        return dest
+    if os.path.isdir(source):
+        vj = os.path.join(source, "vocab.json")
+        mt = os.path.join(source, "merges.txt")
+        if not (os.path.isfile(vj) and os.path.isfile(mt)):
+            raise FileNotFoundError(
+                f"{source} has no vocab.json + merges.txt")
+    elif source.endswith("vocab.json"):
+        vj = source
+        mt = os.path.join(os.path.dirname(source), "merges.txt")
+    else:
+        raise ValueError(f"unrecognized tokenizer source: {source}")
+    import shutil
+    shutil.copy(vj, os.path.join(dest, "vocab.json"))
+    shutil.copy(mt, os.path.join(dest, "merges.txt"))
+    return dest
+
+
 def get_tokenizer(vocab_json: Optional[str] = None,
                   merges_txt: Optional[str] = None,
                   vocab_size: int = 49408) -> BaseTokenizer:
     """Best available tokenizer: real BPE if vocab files exist, else hash.
 
-    Also probes the standard HF cache for any local openai/clip tokenizer
-    files so cached environments get exact tokenization for free.
+    Probe order: explicit files -> repo asset dir (see
+    :func:`install_tokenizer_asset`) -> HF cache. Falls back to
+    :class:`HashTokenizer` with a WARNING — hash ids are NOT in CLIP's
+    vocabulary, so zero-shot logits from real weights would be garbage
+    (the reference encodes real prompts, model_t.py:85-101).
     """
     if vocab_json and merges_txt and os.path.exists(vocab_json) \
             and os.path.exists(merges_txt):
         return CLIPBPETokenizer.from_files(vocab_json, merges_txt)
+    asset_v = os.path.join(ASSET_DIR, "vocab.json")
+    asset_m = os.path.join(ASSET_DIR, "merges.txt")
+    if os.path.exists(asset_v) and os.path.exists(asset_m):
+        return CLIPBPETokenizer.from_files(asset_v, asset_m)
     hub = os.path.expanduser(
         os.environ.get("HF_HOME", "~/.cache/huggingface"))
     if os.path.isdir(hub):
@@ -236,4 +288,11 @@ def get_tokenizer(vocab_json: Optional[str] = None,
                 return CLIPBPETokenizer.from_files(
                     os.path.join(root, "vocab.json"),
                     os.path.join(root, "merges.txt"))
+    import logging
+    logging.getLogger("vlm_clip_tpu").warning(
+        "No CLIP BPE vocab found (checked args, %s, HF cache) — falling "
+        "back to HashTokenizer, which is NOT CLIP-vocabulary-compatible. "
+        "Real-weight zero-shot/text results will be meaningless. Install "
+        "the asset once with `python -m vlm_clip_tpu.cli.install_tokenizer "
+        "<vocab source>`.", ASSET_DIR)
     return HashTokenizer(vocab_size)
