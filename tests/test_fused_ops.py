@@ -221,3 +221,62 @@ def test_int8_pallas_matmul_matches_dequant():
     got = quant_matmul_pallas(x, q.qweight, q.scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_attention_matches_xla():
+    """Whole-sequence Pallas attention == XLA path (no mask, [T,T]
+    causal, and [B,1,T,T] padding masks), plus full-FT backward via the
+    custom VJP."""
+    from vlm_clip_tpu.ops.attention import _xla_attention, fused_attention
+
+    rng = np.random.default_rng(11)
+    B, h, T, d = 5, 3, 13, 8  # ragged B exercises the batch-tile pad
+    q, k, v = (jnp.asarray(rng.normal(size=(B, h, T, d)).astype(
+        np.float32)) for _ in range(3))
+    scale = d ** -0.5
+    causal = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0,
+                       -3.4028235e38).astype(jnp.float32)
+    padmask = jnp.where(
+        jnp.asarray(rng.random((B, 1, T, T)) > 0.2), 0.0, -3.4028235e38
+    ).astype(jnp.float32)
+    # always allow self-attention so no row is fully masked
+    eye = jnp.eye(T, dtype=bool)[None, None]
+    padmask = jnp.where(eye, 0.0, padmask)
+    for mask in (None, causal, padmask):
+        want = _xla_attention(q, k, v, scale, mask)
+        got = fused_attention(q, k, v, scale, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+    # backward (full fine-tune path): custom VJP vs autodiff of XLA ref
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, causal) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale, causal) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_mha_fused_toggle_equivalence():
+    """models/layers.py:mha with the global fused toggle == XLA mha."""
+    from vlm_clip_tpu.models.layers import init_mha, mha
+    from vlm_clip_tpu.ops.attention import set_fused_attention
+
+    rng = jax.random.PRNGKey(4)
+    p = init_mha(rng, 32, 4)
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 11, 32))
+    causal = jnp.where(jnp.tril(jnp.ones((11, 11), bool)), 0.0,
+                       -3.4028235e38).astype(jnp.float32)
+    ref = mha(p, x, x, 4, causal)
+    try:
+        set_fused_attention(True)
+        got = mha(p, x, x, 4, causal)
+    finally:
+        set_fused_attention(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -7,9 +7,9 @@ The reference preprocesses through ``CLIPProcessor`` on the host per item
   resize + center crop to the model's input size, emitting **uint8 HWC**
   (4 bytes/px saved vs fp32 on the host->device transfer);
 - device side (:func:`normalize_batch_tpu`): rescale + CLIP mean/std
-  normalize + NCHW, jit-able, fuses with the patch-embed matmul under XLA
-  (ops/preprocess.py provides the fully fused Pallas
-  normalize+patchify+embed path).
+  normalize + NCHW, jit-able; normalization also folds directly into the
+  patch-embed matmul (models/clip.py uint8 path), and raw frames can be
+  resized on device too (ops/image.py).
 
 Numerics match CLIPProcessor: PIL bicubic resize, center crop, 1/255
 rescale, per-channel normalize (CLIP mean/std; the reference's video path

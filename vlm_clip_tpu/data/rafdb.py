@@ -63,7 +63,29 @@ def _safe_load(path: str, image_size: int) -> np.ndarray:
         return np.zeros((image_size, image_size, 3), np.uint8)
 
 
-class FolderDataset:
+class _PixelCacheMixin:
+    """Opt-in decoded-uint8 cache: ``dataset[i]`` reads mmap row i
+    instead of decoding (data/pixel_cache.py). Attach via
+    ``PixelCache.for_dataset(ds, cache_dir)``."""
+
+    pixel_cache = None
+
+    def attach_pixel_cache(self, cache) -> None:
+        if len(cache) != len(self.samples) \
+                or cache.image_size != self.image_size:
+            raise ValueError(
+                f"pixel cache ({len(cache)} @ {cache.image_size}) does "
+                f"not match dataset ({len(self.samples)} @ "
+                f"{self.image_size})")
+        self.pixel_cache = cache
+
+    def _load_pixels(self, idx: int, path: str) -> np.ndarray:
+        if self.pixel_cache is not None:
+            return self.pixel_cache.get(idx)
+        return _safe_load(path, self.image_size)
+
+
+class FolderDataset(_PixelCacheMixin):
     """T-style: flat root/{emotion}/ scan -> (image, label, path)."""
 
     def __init__(self, root_dir: str, image_size: int = 224,
@@ -90,10 +112,20 @@ class FolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.samples[idx]
-        return _safe_load(path, self.image_size), label, path
+        return self._load_pixels(idx, path), label, path
+
+    def get_batch(self, idxs) -> "Batch":
+        """Batched mmap read (requires an attached pixel cache): one
+        fancy-index slice instead of B python __getitem__ calls."""
+        assert self.pixel_cache is not None
+        return Batch(
+            images=self.pixel_cache.get_batch(idxs),
+            labels=np.asarray([self.samples[i][1] for i in idxs],
+                              np.int32),
+            paths=[self.samples[i][0] for i in idxs])
 
 
-class RAFDBDataset:
+class RAFDBDataset(_PixelCacheMixin):
     """M-style: root/{split}/{emotion}/ scan with random caption per item."""
 
     def __init__(self, root_dir: str, split: str, tokenizer,
@@ -121,12 +153,30 @@ class RAFDBDataset:
             self._rng.integers(len(self.descriptions[emotion]))]
         ids, mask = self.tokenizer([caption], max_length=self.max_length)
         return {
-            "pixel_values": _safe_load(path, self.image_size),
+            "pixel_values": self._load_pixels(idx, path),
             "input_ids": ids[0],
             "attention_mask": mask[0],
             "emotion": emotion,
             "caption": caption,
         }
+
+    def get_batch(self, idxs) -> "Batch":
+        """Batched mmap read + one batched tokenizer call (requires an
+        attached pixel cache). Per-item __getitem__ costs ~2 ms/img in
+        python; this path feeds the chip from the cache at memory
+        bandwidth."""
+        assert self.pixel_cache is not None
+        captions = []
+        labels = np.empty((len(idxs),), np.int32)
+        for j, i in enumerate(idxs):
+            emotion = self.samples[i][1]
+            bank = self.descriptions[emotion]
+            captions.append(bank[self._rng.integers(len(bank))])
+            labels[j] = EMOTIONS.index(emotion)
+        ids, mask = self.tokenizer(captions, max_length=self.max_length)
+        return Batch(images=self.pixel_cache.get_batch(idxs),
+                     labels=labels, input_ids=ids, attention_mask=mask,
+                     captions=captions)
 
 
 @dataclasses.dataclass
@@ -212,13 +262,35 @@ class BatchLoader:
         if native:
             from vlm_clip_tpu.data import native_loader
 
-            if isinstance(dataset, FolderDataset) \
+            if getattr(dataset, "pixel_cache", None) is not None:
+                log.info("pixel cache attached; native decode unnecessary")
+            elif isinstance(dataset, FolderDataset) \
                     and native_loader.native_available():
                 self.native = True
             else:
                 log.warning("native loading requested but unavailable for "
                             "%s; using the PIL path",
                             type(dataset).__name__)
+
+    def _cached_batch(self, idxs) -> Batch:
+        """Batched mmap path via the dataset's ``get_batch`` (requires
+        an attached pixel cache) + final-batch padding."""
+        b = self.dataset.get_batch(idxs)
+        n = b.size
+        b.valid = np.ones((n,), bool)
+        if self.pad_final and n < self.batch_size:
+            reps = self.batch_size - n
+
+            def pad(x):
+                return None if x is None else \
+                    np.concatenate([x, np.repeat(x[-1:], reps, 0)])
+
+            b.images = pad(b.images)
+            b.labels = pad(b.labels)
+            b.input_ids = pad(b.input_ids)
+            b.attention_mask = pad(b.attention_mask)
+            b.valid = np.concatenate([b.valid, np.zeros((reps,), bool)])
+        return b
 
     def _native_batch(self, idxs) -> Batch:
         from vlm_clip_tpu.data.native_loader import load_batch_native
@@ -265,7 +337,12 @@ class BatchLoader:
         def producer():
             try:
                 for idxs in self._index_batches():
-                    if self.native:
+                    if getattr(self.dataset, "pixel_cache", None) \
+                            is not None \
+                            and hasattr(self.dataset, "get_batch") \
+                            and self.collate_fn is _collate:
+                        b = self._cached_batch(idxs)
+                    elif self.native:
                         b = self._native_batch(idxs)
                     else:
                         items = [self.dataset[i] for i in idxs]

@@ -212,7 +212,7 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
     if kv.shape[0] == 1 and text.shape[0] != 1:
         kv = jnp.broadcast_to(kv, (text.shape[0],) + kv.shape[1:])
     q = L.layer_norm(p["norm2"], t, eps)
-    attn = L.mha(p["attn"], q, kv, num_heads)
+    attn = L.mha(p["attn"], q, kv, num_heads, fused=False)
     h = q + attn
     out = h + L.mlp(p["mlp"], L.layer_norm(p["norm3"], h, eps), act="gelu")
     return out
@@ -252,5 +252,5 @@ def init_self_attn_adapter(rng, dim: int, num_heads: int,
 def self_attn_adapter(p: Params, x: jnp.ndarray, num_heads: int,
                       eps: float = 1e-5) -> jnp.ndarray:
     """Self-MHA + LN(attn + x) (peclip.py ContextAdapter/SharedAdapter)."""
-    attn = L.mha(p["attn"], x, x, num_heads)
+    attn = L.mha(p["attn"], x, x, num_heads, fused=False)
     return L.layer_norm(p["ln"], attn + x, eps)

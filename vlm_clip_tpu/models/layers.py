@@ -81,12 +81,18 @@ ACTIVATIONS = {"quick_gelu": quick_gelu, "gelu": gelu_exact,
 
 def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
         mask: Optional[jnp.ndarray] = None,
-        stable_dtype=jnp.float32) -> jnp.ndarray:
+        stable_dtype=jnp.float32,
+        fused: Optional[bool] = None) -> jnp.ndarray:
     """Multi-head attention. q_in [B,Tq,H], kv_in [B,Tk,H].
 
     ``mask`` is an additive bias broadcastable to [B, heads, Tq, Tk]
     (0 where attended, NEG_INF where blocked). Softmax runs in
     ``stable_dtype`` (fp32 default; max-subtracted bf16 under FAST).
+
+    ``fused=None`` defers to the global toggle (ops/attention.py) —
+    meant for the FROZEN towers; trainable call sites (adapters) pass
+    ``fused=False`` because the fused kernel's backward is a full XLA
+    recompute, slower than autodiff of the plain path.
     """
     B, Tq, H = q_in.shape
     hd = H // num_heads
@@ -94,6 +100,16 @@ def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
     q = linear(p["q"], q_in).reshape(B, Tq, num_heads, hd)
     k = linear(p["k"], kv_in).reshape(B, -1, num_heads, hd)
     v = linear(p["v"], kv_in).reshape(B, -1, num_heads, hd)
+    if Tq == k.shape[1] and fused is not False:
+        from vlm_clip_tpu.ops import attention as fa
+
+        if (fused or fa.fused_attention_enabled()) \
+                and fa.supports(mask, Tq):
+            out = fa.fused_attention(q.transpose(0, 2, 1, 3),
+                                     k.transpose(0, 2, 1, 3),
+                                     v.transpose(0, 2, 1, 3), scale, mask)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
+            return linear(p["out"], out)
     if stable_dtype == jnp.float32:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale

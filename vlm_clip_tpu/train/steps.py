@@ -57,6 +57,26 @@ def _constrain_data(x):
         return x  # no mesh context: single-device jit
 
 
+def _pixels_on_device(px, policy: DTypePolicy, image_size: int):
+    """Accept either preprocessed [B, 3, S, S] float batches or raw
+    [B, H, W, 3] uint8 batches (the pixel-cache/native-loader output):
+    uint8 is rescaled + CLIP-normalized on device, where XLA fuses the
+    affine into the patch-embed prologue — the host never touches fp32
+    images and H2D traffic drops 4x. uint8 at a different spatial size
+    (e.g. the 100^2 RAF-DB source resolution) is additionally resized
+    on the TPU (ops/image.py), cutting H2D a further (S/H)^2."""
+    if px.dtype == jnp.uint8:
+        if px.shape[1] != image_size or px.shape[2] != image_size:
+            from vlm_clip_tpu.ops.image import resize_normalize_tpu
+
+            return resize_normalize_tpu(
+                px, image_size, dtype=policy.compute_dtype)
+        from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+
+        return normalize_batch_tpu(px, dtype=policy.compute_dtype)
+    return px
+
+
 def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
                       tx: optax.GradientTransformation,
                       policy: DTypePolicy = BF16,
@@ -80,7 +100,8 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
             clip_params = trainable["clip"]
         ids = _constrain_data(batch["input_ids"])
         mask = _constrain_data(batch.get("attention_mask"))
-        px = _constrain_data(batch["pixel_values"])
+        px = _pixels_on_device(_constrain_data(batch["pixel_values"]),
+                               policy, cfg.vision.image_size)
         if fused_loss:
             from vlm_clip_tpu.ops.contrastive import contrastive_loss_fused
 
@@ -134,7 +155,9 @@ def make_m_eval_step(cfg: CLIPConfig, acfg: AdapterConfig,
         out = M.m_forward(clip_params, adapter_params,
                           _constrain_data(batch["input_ids"]),
                           _constrain_data(batch.get("attention_mask")),
-                          _constrain_data(batch["pixel_values"]),
+                          _pixels_on_device(
+                              _constrain_data(batch["pixel_values"]),
+                              policy, cfg.vision.image_size),
                           cfg, acfg, policy, return_loss=True)
         return out.loss
 
