@@ -195,3 +195,26 @@ def test_video_pipeline(tmp_path):
     probs = score_video_frames(params, cfg, frames, class_emb, policy=FP32)
     assert probs.shape == (16, 7)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_video_frames_shard_over_seq_axis():
+    """The mesh's ``seq`` axis carries the video frame dimension
+    (SURVEY §5.7 "frames x patches"): sharded scores == unsharded."""
+    from vlm_clip_tpu.data.video import (score_video_frames,
+                                         score_video_frames_sharded)
+    from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    cfg = tiny_clip_config()
+    params = init_clip(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (16, 32, 32, 3), dtype=np.uint8)
+    class_emb = rng.normal(size=(7, cfg.projection_dim))
+    class_emb /= np.linalg.norm(class_emb, axis=-1, keepdims=True)
+
+    ref = score_video_frames(params, cfg, frames, class_emb, policy=FP32)
+    mesh = create_mesh(MeshConfig(data=2, model=2, seq=2),
+                       jax.devices()[:8])
+    assert "seq" in mesh.shape
+    got = score_video_frames_sharded(params, cfg, frames, class_emb,
+                                     mesh, policy=FP32)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

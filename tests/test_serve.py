@@ -20,18 +20,32 @@ from vlm_clip_tpu.models.model_t import ZeroShotEmotionRecognition
 from helpers import tiny_clip_config
 
 
-@pytest.fixture(scope="module")
-def server():
+def _backbone():
     cfg = tiny_clip_config()
     params = init_clip(jax.random.PRNGKey(0), cfg)
     tok = HashTokenizer(cfg.text.vocab_size)
-    model = ZeroShotEmotionRecognition(params, cfg, tok, policy=FP32)
-    classifier = BatchingClassifier(model, cfg.vision.image_size,
+    return params, cfg, tok
+
+
+def _spawn(predict_fn, cfg, name="tiny"):
+    classifier = BatchingClassifier(predict_fn, cfg.vision.image_size,
                                     max_batch=4, window_ms=5.0)
     srv = ThreadingHTTPServer(("127.0.0.1", 0),
-                              make_handler(classifier, cfg.name))
+                              make_handler(classifier, name))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    return srv, classifier
+
+
+@pytest.fixture(scope="module")
+def server():
+    from vlm_clip_tpu.cli.serve import build_predict_fn
+
+    backbone = _backbone()
+    predict_fn, mode, cfg = build_predict_fn(
+        "tiny", backbone=backbone, policy=FP32, max_batch=4)
+    assert mode == "zero-shot"
+    srv, classifier = _spawn(predict_fn, cfg)
     yield srv, classifier
     srv.shutdown()
 
@@ -97,3 +111,111 @@ def test_error_paths(server):
     assert status == 400
     status, err = _request(port, "GET", "/nope")
     assert status == 404
+
+
+def test_t_adapter_roundtrip_and_serve(tmp_path):
+    """CLIPAdapterT save -> serve --adapter-ckpt load: predictions from
+    the served model equal the saving model's (VERDICT r01 item 9)."""
+    from vlm_clip_tpu.cli.serve import build_predict_fn
+    from vlm_clip_tpu.models.model_t import CLIPAdapterT
+    from vlm_clip_tpu.train.checkpoint import load_t_adapters
+
+    params, cfg, tok = _backbone()
+    src = CLIPAdapterT(params, cfg, tok, policy=FP32, seed=7)
+    src.update_emotion_embeddings()
+    ckpt = str(tmp_path / "t_adapter.pt")
+    src.save_adapters(ckpt)
+
+    # strict load validates both adapters present
+    loaded = load_t_adapters(ckpt)
+    assert set(loaded) == {"visual", "text"}
+
+    predict_fn, mode, _ = build_predict_fn(
+        "tiny", adapter_ckpt=ckpt, backbone=(params, cfg, tok),
+        policy=FP32, max_batch=4)
+    assert mode == "t-adapter"
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 255, (4, cfg.vision.image_size,
+                               cfg.vision.image_size, 3), dtype=np.uint8)
+    got = predict_fn(u8)
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    import jax.numpy as jnp
+    want = np.asarray(src.predict(normalize_batch_tpu(jnp.asarray(u8))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_t_adapter_strict_load_rejects_junk(tmp_path):
+    from vlm_clip_tpu.train.checkpoint import (load_t_adapters,
+                                               save_v_adapters)
+
+    # a file with only a context adapter is NOT a T checkpoint
+    from vlm_clip_tpu.models.model_v import init_v_adapters
+    vp = init_v_adapters(jax.random.PRNGKey(0), 32, 16)
+    bad = str(tmp_path / "ctx_only.pt")
+    save_v_adapters(bad, {"context": vp["context"]})
+    with pytest.raises(ValueError, match="missing"):
+        load_t_adapters(bad)
+
+
+def test_v_context_serving(tmp_path):
+    """V endpoint: 3-adapter model + context-cache lookup by image
+    content hash; unseen images take the zero-context fallback."""
+    import jax.numpy as jnp
+
+    from vlm_clip_tpu.cli.serve import build_predict_fn
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    from vlm_clip_tpu.models.model_v import EnhancedCLIPAdapterV
+    from vlm_clip_tpu.train.checkpoint import save_v_adapters
+    from vlm_clip_tpu.vlm.extractor import CachedContextExtractor
+
+    params, cfg, tok = _backbone()
+    src = EnhancedCLIPAdapterV(params, cfg, tok, policy=FP32, seed=3)
+    src.encode_emotion_descriptions()
+    ckpt = str(tmp_path / "v_adapter.pt")
+    save_v_adapters(ckpt, src.adapter_params)
+
+    # context cache holding features for ONE known image
+    rng = np.random.default_rng(1)
+    S = cfg.vision.image_size
+    known = rng.integers(0, 255, (S, S, 3), dtype=np.uint8)
+    unknown = rng.integers(0, 255, (S, S, 3), dtype=np.uint8)
+    key = CachedContextExtractor.key_for(known)
+    feats = rng.normal(size=(cfg.projection_dim,)).astype(np.float32)
+    feats /= np.linalg.norm(feats)
+    import json as _json
+    cache_dir = tmp_path / "ctxcache"
+    cache_dir.mkdir()
+    (cache_dir / "contexts.json").write_text(
+        _json.dumps({key: "a happy face"}))
+    np.savez(cache_dir / "features.npz", **{key: feats})
+
+    predict_fn, mode, _ = build_predict_fn(
+        "tiny", v_adapter_ckpt=ckpt, context_cache=str(cache_dir),
+        backbone=(params, cfg, tok), policy=FP32, max_batch=2)
+    assert mode == "v-context+cache"
+
+    batch = np.stack([known, unknown])
+    got = predict_fn(batch)
+    px = normalize_batch_tpu(jnp.asarray(batch))
+    ctx = np.zeros((2, cfg.projection_dim), np.float32)
+    ctx[0] = feats  # known image gets its cached context
+    want = np.asarray(src.predict_probs(px, jnp.asarray(ctx)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # context actually changes the known row vs zero-context
+    zero = np.asarray(src.predict_probs(px, jnp.zeros_like(ctx)))
+    assert not np.allclose(got[0], zero[0])
+    np.testing.assert_allclose(got[1], zero[1], atol=1e-6)
+
+
+def test_v_ckpt_missing_adapters_rejected(tmp_path):
+    from vlm_clip_tpu.cli.serve import build_predict_fn
+    from vlm_clip_tpu.models.model_v import init_v_adapters
+    from vlm_clip_tpu.train.checkpoint import save_v_adapters
+
+    params, cfg, tok = _backbone()
+    vp = init_v_adapters(jax.random.PRNGKey(0), cfg.projection_dim, 16)
+    bad = str(tmp_path / "partial.pt")
+    save_v_adapters(bad, {"visual": vp["visual"]})
+    with pytest.raises(ValueError, match="missing"):
+        build_predict_fn("tiny", v_adapter_ckpt=bad,
+                         backbone=(params, cfg, tok), policy=FP32)

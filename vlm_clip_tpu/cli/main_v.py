@@ -82,6 +82,9 @@ def main(argv=None) -> None:
     from vlm_clip_tpu.train.trainer_v import train_model
     from vlm_clip_tpu.utils.logging import seed_everything, setup_logging
 
+    from vlm_clip_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host: must precede first backend use
     setup_logging(name="training")
     seed_everything(args.seed)
     log = logging.getLogger(__name__)

@@ -1,11 +1,21 @@
 """Minimal production serving endpoint: HTTP image -> emotion probs.
 
-The deployment story for the T/zero-shot models: a ThreadingHTTPServer
-front-end feeding a micro-batching worker — requests are coalesced for up
-to ``--batch-window-ms`` into one fixed-size padded device batch (single
-compiled shape, pad+mask like everywhere else), scored with the jitted
-predict path, and fanned back out. Endpoints:
+A ThreadingHTTPServer front-end feeding a micro-batching worker —
+requests are coalesced for up to ``--batch-window-ms`` into one
+fixed-size padded device batch (single compiled shape, pad+mask like
+everywhere else), scored with the jitted predict path, and fanned back
+out. Three model modes (``healthz`` reports which is live):
 
+- zero-shot (default): ``ZeroShotEmotionRecognition``;
+- T adapters: ``--adapter-ckpt`` (strict load, see
+  train/checkpoint.py:load_t_adapters);
+- V context: ``--v-adapter-ckpt`` + optional ``--context-cache DIR``
+  — per-request VLM context features come from the cache (keyed by
+  decoded-image content hash); unseen images fall back to the
+  zero-context path, the reference's own fallback contract
+  (enhance.py:73-78).
+
+Endpoints:
 - ``POST /classify``  raw image bytes (jpeg/png) -> JSON {probs, label}
 - ``GET  /healthz``   liveness + model info
 
@@ -36,11 +46,16 @@ class _Pending:
 
 
 class BatchingClassifier:
-    """Micro-batching inference worker over a jitted predict path."""
+    """Micro-batching inference worker over a jitted predict path.
 
-    def __init__(self, model, image_size: int, max_batch: int = 8,
+    ``predict_fn(images_u8 [max_batch, S, S, 3]) -> probs [max_batch, 7]``
+    owns normalization/context lookup, so one worker serves every model
+    mode.
+    """
+
+    def __init__(self, predict_fn, image_size: int, max_batch: int = 8,
                  window_ms: float = 10.0):
-        self.model = model
+        self.predict_fn = predict_fn
         self.image_size = image_size
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
@@ -62,12 +77,10 @@ class BatchingClassifier:
     def _loop(self) -> None:
         import numpy as np
 
-        import jax.numpy as jnp
         from PIL import Image
 
         from vlm_clip_tpu.core.config import EMOTIONS
         from vlm_clip_tpu.data.preprocess import load_and_resize
-        from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
 
         while True:
             first = self.q.get()
@@ -93,9 +106,8 @@ class BatchingClassifier:
                 except Exception as e:
                     p.error = f"bad image: {e}"
                     ok.append(False)
-            px = normalize_batch_tpu(jnp.asarray(images))
             try:
-                probs = np.asarray(self.model.predict(px))
+                probs = np.asarray(self.predict_fn(images))
             except Exception as e:
                 for p in batch:
                     p.error = p.error or f"inference failed: {e}"
@@ -164,52 +176,118 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--clip-model-name", default="vit-base-patch32")
     p.add_argument("--adapter-ckpt", default=None,
-                   help="optional T-adapter checkpoint")
+                   help="T-adapter checkpoint (strict load)")
+    p.add_argument("--v-adapter-ckpt", default=None,
+                   help="V 3-adapter checkpoint (context pipeline)")
+    p.add_argument("--context-cache", default=None,
+                   help="context cache dir for the V pipeline "
+                        "(cli/build_context_cache.py output)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=10.0)
     args = p.parse_args(argv)
 
-    from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
-    from vlm_clip_tpu.models.model_t import (CLIPAdapterT,
-                                             ZeroShotEmotionRecognition)
+    predict_fn, mode, cfg = build_predict_fn(
+        args.clip_model_name, adapter_ckpt=args.adapter_ckpt,
+        v_adapter_ckpt=args.v_adapter_ckpt,
+        context_cache=args.context_cache,
+        max_batch=args.max_batch)
 
-    clip_params, cfg = load_backbone(args.clip_model_name)
-    tokenizer = make_tokenizer(cfg)
-    if args.adapter_ckpt:
-        model = CLIPAdapterT(clip_params, cfg, tokenizer)
-        from vlm_clip_tpu.train.checkpoint import load_v_adapters
+    classifier = BatchingClassifier(predict_fn, cfg.vision.image_size,
+                                    args.max_batch, args.batch_window_ms)
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(classifier, f"{cfg.name} [{mode}]"))
+    print(f"serving {cfg.name} [{mode}] on "
+          f"http://{args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, "
+          f"window={args.batch_window_ms}ms)", flush=True)
+    server.serve_forever()
 
-        loaded = load_v_adapters(args.adapter_ckpt)
-        if loaded:
-            model.adapter_params.update(loaded)
-        model.update_emotion_embeddings()
-    else:
-        model = ZeroShotEmotionRecognition(clip_params, cfg, tokenizer)
 
-    # warm up: compile the fixed-shape predict path before taking traffic
+def build_predict_fn(clip_model_name: str, adapter_ckpt=None,
+                     v_adapter_ckpt=None, context_cache=None,
+                     max_batch: int = 8, backbone=None, policy=None):
+    """(predict_fn, mode, cfg) for the requested serving mode; compiles
+    the fixed-shape predict path before returning (warmup).
+
+    ``backbone=(clip_params, cfg, tokenizer)`` injects a preloaded
+    tower (tests use tiny random ones); default loads from
+    ``clip_model_name``.
+    """
     import numpy as np
 
     import jax.numpy as jnp
 
     from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    from vlm_clip_tpu.models.model_t import (CLIPAdapterT,
+                                             ZeroShotEmotionRecognition)
 
+    if adapter_ckpt and v_adapter_ckpt:
+        raise ValueError("pass --adapter-ckpt OR --v-adapter-ckpt")
+
+    if backbone is not None:
+        clip_params, cfg, tokenizer = backbone
+    else:
+        from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
+
+        clip_params, cfg = load_backbone(clip_model_name)
+        tokenizer = make_tokenizer(cfg)
+    model_kw = {} if policy is None else {"policy": policy}
+
+    if v_adapter_ckpt:
+        from vlm_clip_tpu.models.model_v import EnhancedCLIPAdapterV
+        from vlm_clip_tpu.train.checkpoint import load_v_adapters
+        from vlm_clip_tpu.vlm.extractor import CachedContextExtractor
+
+        model = EnhancedCLIPAdapterV(clip_params, cfg, tokenizer,
+                                      **model_kw)
+        loaded = load_v_adapters(v_adapter_ckpt)
+        missing = [n for n in ("visual", "text", "context")
+                   if n not in loaded]
+        if missing:
+            raise ValueError(f"{v_adapter_ckpt} is not a V checkpoint: "
+                             f"missing {missing}")
+        model.adapter_params = loaded
+        model.encode_emotion_descriptions()
+        cache = CachedContextExtractor(context_cache) \
+            if context_cache else None
+        P = cfg.projection_dim
+
+        def predict(images_u8: np.ndarray) -> np.ndarray:
+            # context features per image from the cache (content-hash
+            # key); zero-vector for unseen images (enhance.py:73-78)
+            ctx = np.zeros((images_u8.shape[0], P), np.float32)
+            if cache is not None:
+                for i in range(images_u8.shape[0]):
+                    text = cache.extract_context_from_image(images_u8[i])
+                    feats = cache.encode_context_descriptions(text)
+                    if feats is not None:
+                        ctx[i] = feats[0]
+            px = normalize_batch_tpu(jnp.asarray(images_u8))
+            return np.asarray(model.predict_probs(px, jnp.asarray(ctx)))
+
+        mode = "v-context" + ("+cache" if cache else "")
+    else:
+        if adapter_ckpt:
+            model = CLIPAdapterT(clip_params, cfg, tokenizer,
+                                 **model_kw)
+            model.load_adapters(adapter_ckpt)  # strict (checkpoint.py)
+            mode = "t-adapter"
+        else:
+            model = ZeroShotEmotionRecognition(clip_params, cfg,
+                                               tokenizer, **model_kw)
+            mode = "zero-shot"
+
+        def predict(images_u8: np.ndarray) -> np.ndarray:
+            px = normalize_batch_tpu(jnp.asarray(images_u8))
+            return np.asarray(model.predict(px))
+
+    # warm up: compile the fixed-shape predict path before taking traffic
     t0 = time.time()
-    dummy = jnp.zeros((args.max_batch, 3, cfg.vision.image_size,
-                       cfg.vision.image_size), jnp.float32)
-    np.asarray(model.predict(normalize_batch_tpu(jnp.zeros(
-        (args.max_batch, cfg.vision.image_size, cfg.vision.image_size, 3),
-        jnp.uint8))))
-    del dummy
+    predict(np.zeros((max_batch, cfg.vision.image_size,
+                      cfg.vision.image_size, 3), np.uint8))
     print(f"warmup compile done in {time.time() - t0:.1f}s", flush=True)
-
-    classifier = BatchingClassifier(model, cfg.vision.image_size,
-                                    args.max_batch, args.batch_window_ms)
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(classifier, cfg.name))
-    print(f"serving {cfg.name} on http://{args.host}:{args.port} "
-          f"(max_batch={args.max_batch}, "
-          f"window={args.batch_window_ms}ms)", flush=True)
-    server.serve_forever()
+    return predict, mode, cfg
 
 
 if __name__ == "__main__":

@@ -99,6 +99,34 @@ def convert_hf_clip(sd: Mapping[str, Any], cfg: CLIPConfig) -> Dict[str, Any]:
     return params
 
 
+def clip_config_from_hf(hf_config) -> CLIPConfig:
+    """CLIPConfig from a transformers CLIPConfig (any dims, not just the
+    presets) — used by cli/validate_parity.py for arbitrary checkpoints."""
+    from vlm_clip_tpu.core.config import TextConfig, VisionConfig
+
+    tc, vc = hf_config.text_config, hf_config.vision_config
+    return CLIPConfig(
+        vision=VisionConfig(
+            hidden_size=vc.hidden_size,
+            intermediate_size=vc.intermediate_size,
+            num_layers=vc.num_hidden_layers,
+            num_heads=vc.num_attention_heads,
+            image_size=vc.image_size, patch_size=vc.patch_size,
+            layer_norm_eps=vc.layer_norm_eps, hidden_act=vc.hidden_act),
+        text=TextConfig(
+            hidden_size=tc.hidden_size,
+            intermediate_size=tc.intermediate_size,
+            num_layers=tc.num_hidden_layers,
+            num_heads=tc.num_attention_heads,
+            vocab_size=tc.vocab_size,
+            max_positions=tc.max_position_embeddings,
+            layer_norm_eps=tc.layer_norm_eps, hidden_act=tc.hidden_act,
+            eos_token_id=tc.eos_token_id),
+        projection_dim=hf_config.projection_dim,
+        logit_scale_init=float(hf_config.logit_scale_init_value),
+        name=getattr(hf_config, "name_or_path", "hf-clip") or "hf-clip")
+
+
 def load_hf_clip(model_name_or_path: str, cfg: CLIPConfig = None):
     """Load + convert an HF CLIP checkpoint (requires transformers/torch).
 

@@ -87,3 +87,46 @@ def score_video_frames(clip_params, cfg, frames_u8: np.ndarray,
     sims = 100.0 * jnp.dot(feats, jnp.asarray(class_emb).T,
                            preferred_element_type=jnp.float32)
     return np.asarray(jax.nn.softmax(sims, axis=-1))
+
+
+def score_video_frames_sharded(clip_params, cfg, frames_u8: np.ndarray,
+                               class_emb, mesh, policy=None,
+                               stats: str = "clip") -> np.ndarray:
+    """Per-frame scores with the FRAME axis sharded over the mesh's
+    ``seq`` axis — the "frames x patches shardable axis" of SURVEY §5.7:
+    raising ``frame_limit`` scales across chips instead of batch memory.
+    ``mesh`` must carry a ``seq`` axis (parallel/mesh.py MeshConfig(seq=k));
+    equivalence vs :func:`score_video_frames` is tested on the virtual
+    8-device mesh (tests/test_emotic_video.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vlm_clip_tpu.core.dtypes import BF16
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    from vlm_clip_tpu.models import clip as C
+    from vlm_clip_tpu.models import layers as L
+    from vlm_clip_tpu.parallel.mesh import SEQ_AXIS, with_mesh
+
+    policy = policy or BF16
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
+        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+
+    @jax.jit
+    def run(params, u8, emb):
+        px = normalize_batch_tpu(u8, mean, std, dtype=policy.compute_dtype)
+        px = jax.lax.with_sharding_constraint(
+            px, P(SEQ_AXIS, None, None, None))
+        feats = C.get_image_features(params, px, cfg, policy)
+        feats = L.l2_normalize(feats).astype(jnp.float32)
+        sims = 100.0 * jnp.dot(feats, emb.T,
+                               preferred_element_type=jnp.float32)
+        return jax.nn.softmax(sims, axis=-1)
+
+    with with_mesh(mesh):
+        u8 = jax.device_put(
+            jnp.asarray(frames_u8),
+            NamedSharding(mesh, P(SEQ_AXIS, None, None, None)))
+        out = run(clip_params, u8, jnp.asarray(class_emb))
+    return np.asarray(out)

@@ -225,6 +225,19 @@ class CLIPAdapterT:
         self.update_emotion_embeddings()
         return losses
 
+    # -- checkpoint API (beyond-reference: the reference never persists
+    # T adapters; serving needs a tested format — train/checkpoint.py) --
+    def save_adapters(self, path: str) -> None:
+        from vlm_clip_tpu.train.checkpoint import save_t_adapters
+
+        save_t_adapters(path, self.adapter_params)
+
+    def load_adapters(self, path: str) -> None:
+        from vlm_clip_tpu.train.checkpoint import load_t_adapters
+
+        self.adapter_params = load_t_adapters(path)
+        self.update_emotion_embeddings()
+
 
 class ZeroShotEmotionRecognition:
     """No-adapter baseline (model_t.py:300-403)."""

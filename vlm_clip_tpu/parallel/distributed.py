@@ -1,0 +1,186 @@
+"""Multi-host / multi-slice execution (jax.distributed + DCN-aware mesh).
+
+SURVEY §2.10 names ``jax.distributed.initialize`` + XLA collectives over
+ICI (within a slice) / DCN (across slices) as the TPU-native equivalent
+of a NCCL/MPI comms backend (the reference has none). This module owns
+that wiring:
+
+- :func:`maybe_initialize`: env-driven ``jax.distributed.initialize``
+  (coordinator address, process count/id), idempotent, a no-op for
+  single-process runs — the default on this one-chip box. On Cloud TPU
+  pods the args auto-detect from the TPU metadata when the env vars are
+  absent.
+- :func:`global_mesh`: a Mesh over the GLOBAL device set. With multiple
+  slices it builds a hybrid DCN x ICI layout (data parallel outermost
+  across slices so gradients psum over DCN once per step; model/tensor
+  axes ride ICI inside a slice).
+- :func:`is_primary` / :func:`primary_only`: process-0 gating for
+  logging, checkpointing, and artifact writes (every process must still
+  *call* orbax saves — orbax coordinates internally — but console/file
+  noise and reference-format exports are primary-only).
+
+The decision logic is pure and unit-tested (tests/test_distributed.py);
+the initialize call itself is exercised only where a cluster exists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+log = logging.getLogger(__name__)
+
+# Env contract (mirrors jax.distributed's own arg names):
+ENV_COORDINATOR = "JAX_COORDINATOR_ADDRESS"
+ENV_NUM_PROCESSES = "JAX_NUM_PROCESSES"
+ENV_PROCESS_ID = "JAX_PROCESS_ID"
+
+_initialized = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DistributedConfig:
+    """Parsed multi-process launch spec; ``wanted`` False -> single."""
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+    @property
+    def wanted(self) -> bool:
+        return self.coordinator_address is not None \
+            or (self.num_processes or 0) > 1
+
+    def validate(self) -> None:
+        if not self.wanted:
+            return
+        if self.coordinator_address is None:
+            raise ValueError(
+                f"{ENV_NUM_PROCESSES}>1 requires {ENV_COORDINATOR} "
+                f"(host:port of process 0)")
+        if self.num_processes is None or self.process_id is None:
+            raise ValueError(
+                f"{ENV_COORDINATOR} set but {ENV_NUM_PROCESSES}/"
+                f"{ENV_PROCESS_ID} missing")
+        if not 0 <= self.process_id < self.num_processes:
+            raise ValueError(
+                f"process_id {self.process_id} outside "
+                f"[0, {self.num_processes})")
+
+
+def config_from_env(env=None) -> DistributedConfig:
+    env = os.environ if env is None else env
+
+    def geti(k):
+        v = env.get(k)
+        return int(v) if v not in (None, "") else None
+
+    return DistributedConfig(
+        coordinator_address=env.get(ENV_COORDINATOR) or None,
+        num_processes=geti(ENV_NUM_PROCESSES),
+        process_id=geti(ENV_PROCESS_ID))
+
+
+def maybe_initialize(cfg: Optional[DistributedConfig] = None) -> bool:
+    """Call ``jax.distributed.initialize`` when the env asks for it.
+
+    Returns True when a multi-process runtime is (already) up. Safe to
+    call more than once and before any other jax use — it must run
+    BEFORE the first backend touch, so CLIs call it first thing.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    cfg = cfg if cfg is not None else config_from_env()
+    if not cfg.wanted:
+        return False
+    cfg.validate()
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=cfg.coordinator_address,
+        num_processes=cfg.num_processes,
+        process_id=cfg.process_id)
+    _initialized = True
+    log.info("jax.distributed up: process %d/%d, %d global devices",
+             jax.process_index(), jax.process_count(),
+             jax.device_count())
+    return True
+
+
+def is_primary() -> bool:
+    """True on process 0 (and always in single-process runs)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def primary_only(fn):
+    """Decorator: run ``fn`` only on process 0 (returns None elsewhere).
+
+    For console/file logging and reference-format artifact exports.
+    NOT for orbax saves — those are collective (every process
+    participates; orbax handles per-host shard writes itself).
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if is_primary():
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+def hybrid_mesh_shape(n_devices: int, n_slices: int, model: int = 1
+                      ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """((dcn_data, dcn_model), (ici_data, ici_model)) factorization.
+
+    Data parallel goes OUTERMOST across slices (each slice holds a full
+    model replica set; the per-step gradient psum crosses DCN once),
+    tensor parallel stays inside a slice (its all_gathers/psums are per
+    layer and must ride ICI). Raises when ``model`` does not fit inside
+    one slice.
+    """
+    if n_devices % n_slices:
+        raise ValueError(f"{n_devices} devices not divisible into "
+                         f"{n_slices} slices")
+    per_slice = n_devices // n_slices
+    if per_slice % model:
+        raise ValueError(
+            f"model={model} does not divide the {per_slice} devices of "
+            f"one slice; TP must not cross DCN")
+    return (n_slices, 1), (per_slice // model, model)
+
+
+def global_mesh(model: int = 1):
+    """('data','model') Mesh over ALL processes' devices.
+
+    Single-slice: plain mesh (same layout as parallel/mesh.py). Multi-
+    slice (DCN): hybrid mesh with data outer across slices.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vlm_clip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    devs = jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devs})
+    n_slices = len(slice_ids)
+    if n_slices <= 1:
+        n = len(devs)
+        if n % model:
+            raise ValueError(f"model={model} does not divide {n} devices")
+        arr = np.asarray(devs).reshape(n // model, model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    from jax.experimental import mesh_utils
+
+    dcn, ici = hybrid_mesh_shape(len(devs), n_slices, model)
+    # returns shape (dcn_data*ici_data, dcn_model*ici_model) with slice
+    # boundaries aligned to the outer (data) axis
+    arr = mesh_utils.create_hybrid_device_mesh(
+        ici, dcn_mesh_shape=dcn, devices=devs)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

@@ -197,3 +197,29 @@ def load_v_adapters(load_path: str) -> Params:
         if key in sd:
             out[name] = CA.feature_adapter_from_torch(sd[key])
     return out
+
+
+def save_t_adapters(save_path: str, adapter_params: Params) -> None:
+    """Pipeline-T adapter export (visual + text feature adapters).
+
+    The reference's CLIPAdapter never gained a save path (its train loop
+    keeps everything in memory, model_t.py:131-211); serving needs one.
+    Same torch-dict format as the V export minus the context adapter, so
+    the files interoperate where keys overlap.
+    """
+    for name in ("visual", "text"):
+        if name not in adapter_params:
+            raise ValueError(f"T adapters must contain '{name}'")
+    save_v_adapters(save_path, adapter_params)
+
+
+def load_t_adapters(load_path: str) -> Params:
+    """Strict T-adapter load: both adapters must be present (a V export
+    also qualifies; its context adapter is ignored)."""
+    out = load_v_adapters(load_path)
+    missing = [n for n in ("visual", "text") if n not in out]
+    if missing:
+        raise ValueError(
+            f"{load_path} is not a T/V adapter checkpoint: missing "
+            f"{missing} (found {sorted(out)})")
+    return {"visual": out["visual"], "text": out["text"]}

@@ -127,7 +127,13 @@ class CLIPAdapterTrainer:
 
     # -- checkpoint API (reference save_model/load_model + full resume) ---
     def save_model(self, path: str) -> None:
-        ckpt.save_adapter_weights(path, self.state.adapter_params)
+        # reference-format export is a plain host write -> primary-only
+        # under multi-process (params are replicated; orbax full-state
+        # saves below stay collective)
+        from vlm_clip_tpu.parallel.distributed import is_primary
+
+        if is_primary():
+            ckpt.save_adapter_weights(path, self.state.adapter_params)
 
     def load_model(self, path: str) -> None:
         params = ckpt.load_adapter_weights(path, self.acfg)

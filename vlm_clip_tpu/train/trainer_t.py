@@ -48,11 +48,26 @@ def make_t_train_step(tx: optax.GradientTransformation, alpha: float,
 
 
 class FeatureCache:
-    """Per-sample frozen-feature cache keyed by dataset index."""
+    """Per-sample frozen-feature cache keyed by dataset index.
+
+    The [N, P] store stays on device; writes go through a DONATED jitted
+    scatter so XLA updates the buffer in place — an eager ``.at[].set``
+    would allocate a fresh [N, P] copy per batch (O(N^2/B) HBM traffic
+    over the first epoch: ~640 GB at N=100k, P=512, B=32). Gather is
+    jitted too (eager dispatch costs a tunnel RTT per op on this image).
+    """
 
     def __init__(self, n: int, dim: int):
         self.feats = jnp.zeros((n, dim), jnp.float32)
         self.have = np.zeros((n,), bool)
+
+        @functools.partial(jax.jit, donate_argnames=("feats",))
+        def scatter(feats, idx, new):
+            return feats.at[idx].set(new.astype(feats.dtype))
+
+        self._scatter = scatter
+        self._gather = jax.jit(lambda feats, idx: jnp.take(feats, idx,
+                                                           axis=0))
 
     def lookup_or_compute(self, indices: Optional[np.ndarray], compute):
         """Returns features for the batch; computes+stores on any miss."""
@@ -60,10 +75,9 @@ class FeatureCache:
             return compute()
         idx = np.asarray(indices)
         if self.have[idx].all():
-            return jnp.take(self.feats, jnp.asarray(idx), axis=0)
+            return self._gather(self.feats, jnp.asarray(idx))
         feats = compute()
-        self.feats = self.feats.at[jnp.asarray(idx)].set(
-            feats.astype(jnp.float32))
+        self.feats = self._scatter(self.feats, jnp.asarray(idx), feats)
         self.have[idx] = True
         return feats
 

@@ -17,12 +17,24 @@ from datetime import datetime
 
 def setup_logging(log_dir: str = "logs", name: str = "training",
                   level: int = logging.INFO) -> str:
+    """File + console handlers; on multi-process runs only process 0
+    gets handlers (others return "" and stay at WARNING), so a pod
+    doesn't write N copies of every line."""
+    from vlm_clip_tpu.parallel.distributed import is_primary
+
+    root = logging.getLogger()
+    try:
+        primary = is_primary()
+    except Exception:  # jax backend not up yet: single process
+        primary = True
+    if not primary:
+        root.setLevel(logging.WARNING)
+        return ""
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(
         log_dir, f"{name}_{datetime.now():%Y%m%d_%H%M%S}.log")
     fmt = logging.Formatter(
         "%(asctime)s - %(levelname)s - %(message)s")
-    root = logging.getLogger()
     root.setLevel(level)
     fh = logging.FileHandler(path)
     fh.setFormatter(fmt)
