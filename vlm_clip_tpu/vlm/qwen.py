@@ -278,9 +278,11 @@ class QwenVLGenerator:
                  max_new_tokens: int = 200,
                  fixed_resolution: Optional[int] = 448,
                  sampling: Optional[SamplingConfig] = None,
-                 seed: int = 0) -> List[int]:
+                 seed: int = 0,
+                 resolution_buckets=None) -> List[int]:
         vision = prepare_vision_inputs(image, self.cfg.vision,
-                                       fixed_resolution=fixed_resolution)
+                                       fixed_resolution=fixed_resolution,
+                                       resolution_buckets=resolution_buckets)
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
         return self.generate_from_ids(ids, vision, max_new_tokens,

@@ -11,7 +11,9 @@ TPU policy: the reference lets every image pick its own resolution within
 the [min_pixels, max_pixels] budget (config.py:10-11). We keep that
 budget but default to a fixed square resolution so the vision tower
 compiles once (fixed_resolution=448 -> 32x32 grid); set
-``fixed_resolution=None`` for HF-faithful per-image shapes.
+``fixed_resolution=None`` for HF-faithful per-image shapes, optionally
+with ``resolution_buckets`` (see :func:`default_resolution_buckets`) to
+bound the compile count.
 """
 
 from __future__ import annotations
@@ -27,6 +29,53 @@ from vlm_clip_tpu.vlm.qwen_model import QwenVisionConfig, QwenVLConfig
 
 VLM_DEFAULT_MIN_PIXELS = 128 * 28 * 28  # reference config.py:10
 VLM_DEFAULT_MAX_PIXELS = 640 * 28 * 28  # reference config.py:11
+
+
+def default_resolution_buckets(
+        min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
+        max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
+        factor: int = 28) -> Tuple[Tuple[int, int], ...]:
+    """A small ladder of (h, w) shapes spanning the pixel budget.
+
+    Shape-bucketed dynamic resolution: images keep (approximately) their
+    HF smart_resize target but snap to the nearest ladder rung, so the
+    vision tower compiles at most ``len(buckets)`` times instead of once
+    per unique image shape. Aspect ratios 1:1, 4:3, 3:4, 16:9, 9:16 at
+    two pixel areas within [min_pixels, max_pixels].
+    """
+    areas = (min_pixels * 2, max_pixels)
+    aspects = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+    buckets = []
+    for area in areas:
+        for ah, aw in aspects:
+            h = math.sqrt(area * ah / aw)
+            hb = max(factor, round(h / factor) * factor)
+            wb = max(factor, round(h * aw / ah / factor) * factor)
+            while hb * wb > max_pixels:
+                if hb >= wb:
+                    hb -= factor
+                else:
+                    wb -= factor
+            if (hb, wb) not in buckets:
+                buckets.append((hb, wb))
+    return tuple(buckets)
+
+
+def snap_to_bucket(h: int, w: int,
+                   buckets: Tuple[Tuple[int, int], ...]
+                   ) -> Tuple[int, int]:
+    """Nearest bucket by combined log-space aspect + area distance
+    (a strict aspect-first rule would let a marginally-better aspect
+    pull an image to a wildly different area)."""
+    ar = math.log(h / w)
+    area = h * w
+
+    def cost(b):
+        bh, bw = b
+        return (abs(math.log(bh / bw) - ar)
+                + abs(math.log(bh * bw / area)))
+
+    return min(buckets, key=cost)
 
 
 def smart_resize(height: int, width: int, factor: int = 28,
@@ -52,11 +101,21 @@ def smart_resize(height: int, width: int, factor: int = 28,
 def image_to_patches(image, cfg: QwenVisionConfig,
                      min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
                      max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
-                     fixed_resolution: Optional[int] = 448
+                     fixed_resolution: Optional[int] = 448,
+                     resolution_buckets: Optional[
+                         Tuple[Tuple[int, int], ...]] = None
                      ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """PIL/array image -> (patches [S, C*t*P*P] fp32, grid (t, h, w)).
 
-    Flatten order matches Qwen2VLImageProcessor._preprocess.
+    Flatten order matches Qwen2VLImageProcessor._preprocess. Resolution
+    policy (SURVEY §7 hard part 3 / VERDICT r01 missing 5):
+
+    - ``fixed_resolution=S`` (default 448): one compile, TPU-friendly;
+    - ``fixed_resolution=None``: HF-faithful per-image smart_resize —
+      recompiles per unique shape;
+    - ``fixed_resolution=None, resolution_buckets=...``: smart_resize
+      target snapped to the nearest bucket (aspect then area) — bounded
+      compile count with near-HF resolution behavior.
     """
     from PIL import Image
 
@@ -69,6 +128,14 @@ def image_to_patches(image, cfg: QwenVisionConfig,
         w, h = pil.size
         rh, rw = smart_resize(h, w, cfg.patch_size * cfg.spatial_merge_size,
                               min_pixels, max_pixels)
+        if resolution_buckets:
+            rh, rw = snap_to_bucket(rh, rw, resolution_buckets)
+            f = cfg.patch_size * cfg.spatial_merge_size
+            if rh % f or rw % f:
+                raise ValueError(
+                    f"bucket {(rh, rw)} not divisible by the model's "
+                    f"resolution factor {f}; build buckets with "
+                    f"default_resolution_buckets(factor={f})")
     pil = pil.resize((rw, rh), Image.BICUBIC)
     arr = np.asarray(pil, np.float32) / 255.0
     arr = (arr - np.asarray(CLIP_IMAGE_MEAN, np.float32)) \
@@ -171,10 +238,12 @@ class VisionInputs:
 def prepare_vision_inputs(image, cfg: QwenVisionConfig,
                           min_pixels: int = VLM_DEFAULT_MIN_PIXELS,
                           max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
-                          fixed_resolution: Optional[int] = 448
+                          fixed_resolution: Optional[int] = 448,
+                          resolution_buckets: Optional[
+                              Tuple[Tuple[int, int], ...]] = None
                           ) -> VisionInputs:
     patches, grid = image_to_patches(image, cfg, min_pixels, max_pixels,
-                                     fixed_resolution)
+                                     fixed_resolution, resolution_buckets)
     return vision_inputs_from_patches(patches, grid, cfg)
 
 
