@@ -217,3 +217,34 @@ def test_quantized_qwen_params_get_tp_specs():
                                                       mask))(sp, embeds)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_qwen_vision_tp_matches_single_device():
+    """TP-sharded Qwen vision tower (windowed attention) == unsharded.
+    qkv stays replicated (fused q|k|v output dim can't shard cleanly);
+    the MLP pair and proj carry the model axis."""
+    from vlm_clip_tpu.parallel.sharding import (qwen_param_rules,
+                                                shard_params)
+    from vlm_clip_tpu.vlm import qwen_model as QM
+    from vlm_clip_tpu.vlm import qwen_process as QP
+
+    vcfg = QM.QwenVisionConfig(
+        hidden_size=32, intermediate_size=64, out_hidden_size=64, depth=3,
+        num_heads=4, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, window_size=16, fullatt_block_indexes=(1,))
+    params = QM.init_vision(jax.random.PRNGKey(2), vcfg)
+    rng = np.random.default_rng(1)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+    vin = QP.vision_inputs_from_patches(patches, (1, 8, 8), vcfg)
+    args = (jnp.asarray(vin.patches), jnp.asarray(vin.rot_pos_emb),
+            jnp.asarray(vin.window_mask), jnp.asarray(vin.full_mask))
+
+    ref = QM.vision_forward(params, *args, vcfg)
+    mesh = create_mesh(MeshConfig(data=2, model=4), jax.devices()[:8])
+    with with_mesh(mesh):
+        sp = shard_params(params, mesh, rules=qwen_param_rules())
+        out = jax.jit(lambda p, *a: QM.vision_forward(p, *a, vcfg))(
+            sp, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

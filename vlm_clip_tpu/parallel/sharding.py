@@ -61,6 +61,21 @@ QWEN_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"(?:.*/)?layers/mlp/(gate|up)/scale$", P(None, MODEL_AXIS)),
     (r"(?:.*/)?layers/mlp/down/(kernel|qweight)$", P(None, MODEL_AXIS, None)),
     (r"(?:.*/)?layers/mlp/down/scale$", P(None)),
+    # vision tower (windowed ViT): fused qkv shards on the output dim
+    # ONLY when 3*hidden/model keeps head boundaries — with 16 heads the
+    # per-shard slice is a whole number of (q|k|v, head) groups for
+    # model in {2,4,8,16}? NO: the qkv output dim is [3*H] with q|k|v
+    # concatenated, so slicing it across `model` splits across the
+    # q/k/v boundary and breaks the in-layer reshape. Keep qkv
+    # REPLICATED; shard the mlp (the FLOPs majority) and proj input.
+    (r"(?:.*/)?blocks/attn/qkv/(kernel|qweight|bias|scale)$", P()),
+    (r"(?:.*/)?blocks/attn/proj/(kernel|qweight)$",
+     P(None, MODEL_AXIS, None)),
+    (r"(?:.*/)?blocks/mlp/(gate|up)/(kernel|qweight)$",
+     P(None, None, MODEL_AXIS)),
+    (r"(?:.*/)?blocks/mlp/(gate|up)/(bias|scale)$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?blocks/mlp/down/(kernel|qweight)$",
+     P(None, MODEL_AXIS, None)),
     (r".*", P()),
 )
 
