@@ -128,7 +128,7 @@ class QwenVLGenerator:
     KV-cache indexing contract: prefill writes rows ``0..T-1``; the
     decode step for the token at sequence position ``T+s`` writes row
     ``length0+s`` and attends to columns ``<= length0+s`` (prefix plus
-    itself). tests/test_qwen_generation.py proves cached decode equals
+    itself). tests/test_qwen.py proves cached decode equals
     an uncached full-forward rollout.
     """
 

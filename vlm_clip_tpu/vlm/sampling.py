@@ -10,7 +10,7 @@ repetition penalty -> temperature -> top-k -> top-p -> categorical.
 Everything here is jit-safe: ``warp_logits`` is traced inside the
 device-side decode loop (vlm/qwen.py) with a static ``SamplingConfig``.
 Parity is proven against the transformers processors in
-tests/test_qwen_generation.py.
+tests/test_qwen.py.
 """
 
 from __future__ import annotations
