@@ -195,14 +195,61 @@ def test_int4_pallas_matmul_matches_dequant():
                                         quantize_weight)
 
     ks = jax.random.split(jax.random.PRNGKey(9), 2)
-    K, N_, M = 96, 40, 5  # ragged: exercises all three pads
+    K, N_, M = 96, 40, 5  # ragged: exercises quantize-time pre-padding
+    w = jax.random.normal(ks[0], (K, N_), jnp.float32)
+    q = quantize_weight(w, bits=4)
+    assert q.qweight.shape[0] % 1024 == 0 and q.qweight.shape[1] % 1024 == 0
+    assert (q.logical_in, q.logical_out) == (K, N_)
+    x = jax.random.normal(ks[1], (M, K), jnp.float32)
+    ref = x @ dequantize_weight(q)
+    assert ref.shape == (M, N_)
+    got = quant_matmul_pallas_int4(x, q.qweight, q.scale,
+                                   out_features=N_, in_features=K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    with pytest.raises(ValueError, match="tile-aligned"):
+        quant_matmul_pallas_int4(x, q.qweight[:, :40], q.scale)
+
+
+def test_int4_xla_gemv_matches_dequant():
+    """The fused-XLA row-pair GEMV (narrow-N decode route) must equal
+    the dequantized matmul bit-for-bit at fp32."""
+    from vlm_clip_tpu.ops.quant import (_int4_gemv_xla, dequantize_weight,
+                                        quantize_weight)
+
+    ks = jax.random.split(jax.random.PRNGKey(12), 2)
+    K, N_, M = 130, 70, 3
     w = jax.random.normal(ks[0], (K, N_), jnp.float32)
     q = quantize_weight(w, bits=4)
     x = jax.random.normal(ks[1], (M, K), jnp.float32)
     ref = x @ dequantize_weight(q)
-    got = quant_matmul_pallas_int4(x, q.qweight, q.scale)
+    got = _int4_gemv_xla(x, q)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-4, rtol=1e-4)
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_linear_stacked_keeps_logical_dims():
+    """vmapped quantization (scanned layer stacks) must carry the
+    logical in/out features through the pytree aux, and per-layer scan
+    slices must still dequantize to the logical shape."""
+    from vlm_clip_tpu.ops.quant import dequantize_weight, quantize_weight
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 96, 40), jnp.float32)
+    q = jax.vmap(lambda k: quantize_weight(k, 4))(w)
+    assert (q.in_features, q.out_features) == (96, 40)
+    layer0 = jax.tree.map(lambda a: a[0], q)
+    assert (layer0.logical_in, layer0.logical_out) == (96, 40)
+    deq = dequantize_weight(layer0)
+    assert deq.shape == (96, 40)
+    # stacked quantization == per-layer quantization, exactly
+    single = quantize_weight(w[0], 4)
+    np.testing.assert_array_equal(np.asarray(layer0.qweight),
+                                  np.asarray(single.qweight))
+    np.testing.assert_array_equal(np.asarray(layer0.scale),
+                                  np.asarray(single.scale))
+    # and the roundtrip stays within the int4 step (scale = amax/7)
+    step = np.asarray(single.scale).max()
+    assert float(jnp.max(jnp.abs(deq - w[0]))) <= 0.5 * step + 1e-6
 
 
 def test_int8_pallas_matmul_matches_dequant():

@@ -187,6 +187,40 @@ def test_quantized_path_close(converted):
     assert np.isfinite(np.asarray(out4)).all()
 
 
+def test_mixed_quantization_preset(converted):
+    """MIXED_DECODE_BITS: int4 on mlp gate/up, int8 elsewhere, int4
+    untied head built from embed_tokens.T — and the untied forward's
+    argmax tracks the fp model."""
+    import dataclasses
+
+    cfg, params = converted
+    qm = QC.quantize_qwen_params(params, QC.MIXED_DECODE_BITS, head_bits=4)
+    layers = qm["text"]["layers"]
+    assert layers["mlp"]["gate"].bits == 4
+    assert layers["mlp"]["up"].bits == 4
+    assert layers["mlp"]["down"].bits == 8
+    assert layers["attn"]["q"].bits == 8
+    head = qm["text"]["lm_head"]
+    assert head.bits == 4
+    assert (head.logical_in, head.logical_out) == (
+        cfg.text.hidden_size, cfg.text.vocab_size)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 200, (1, 7))
+    pos = np.broadcast_to(np.arange(7), (3, 1, 7))
+    embeds = params["text"]["embed_tokens"][jnp.asarray(ids)]
+    mask = jnp.where(jnp.tril(jnp.ones((7, 7), bool))[None, None], 0.0,
+                     -3.4028235e38)
+    full, _ = QM.text_forward(params["text"], embeds, jnp.asarray(pos),
+                              cfg.text, mask)
+    untied = dataclasses.replace(cfg.text, tie_word_embeddings=False)
+    mixed, _ = QM.text_forward(qm["text"], embeds, jnp.asarray(pos),
+                               untied, mask)
+    assert mixed.shape == full.shape
+    agree = (np.asarray(full).argmax(-1) == np.asarray(mixed).argmax(-1))
+    assert agree.mean() >= 0.7, agree.mean()  # int4 head is coarser
+
+
 def test_generate_batch_matches_single(converted):
     """Batched greedy decode rows == independent single-image decodes."""
     from vlm_clip_tpu.vlm.qwen import QwenVLGenerator

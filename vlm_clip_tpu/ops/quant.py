@@ -29,13 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 class QuantizedLinear:
     """Per-output-channel symmetric weight-only quantization.
 
-    ``qweight``: int8 [in, out] (bits=8) or packed uint8 [in, out/2]
-    holding two 4-bit nibbles (bits=4). ``scale``: fp32 [out].
+    ``qweight``: int8 [in, out] (bits=8) or packed uint8 [in/2, out]
+    holding two 4-bit nibbles per byte (bits=4). ``scale``: fp32 [out].
+
+    int4 weights are PRE-PADDED at quantization time to the Pallas tile
+    grid (multiples of 1024 on both packed axes): runtime ``jnp.pad`` of
+    the packed weight copied the whole tensor every decode step and was
+    the dominant cost of the round-1 kernel (measured: lm-head GEMV
+    171 -> 528 GB/s once pre-padded). ``in_features``/``out_features``
+    keep the logical shape; padded rows/cols hold zeros.
     """
     qweight: jnp.ndarray
     scale: jnp.ndarray
     bits: int = 8
     bias: Optional[jnp.ndarray] = None
+    in_features: Optional[int] = None
+    out_features: Optional[int] = None
 
     def tree_flatten_with_keys(self):
         # Named keys so partition rules (parallel/sharding.py) can match
@@ -43,15 +52,31 @@ class QuantizedLinear:
         # replication and defeat TP for quantized decode.
         ga = jax.tree_util.GetAttrKey
         return ((ga("qweight"), self.qweight), (ga("scale"), self.scale),
-                (ga("bias"), self.bias)), (self.bits,)
+                (ga("bias"), self.bias)), \
+            (self.bits, self.in_features, self.out_features)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qweight, scale, bias = children
-        return cls(qweight=qweight, scale=scale, bits=aux[0], bias=bias)
+        return cls(qweight=qweight, scale=scale, bits=aux[0], bias=bias,
+                   in_features=aux[1], out_features=aux[2])
+
+    @property
+    def logical_in(self) -> int:
+        if self.in_features is not None:
+            return self.in_features
+        return self.qweight.shape[0] * (2 if self.bits == 4 else 1)
+
+    @property
+    def logical_out(self) -> int:
+        return (self.out_features if self.out_features is not None
+                else self.qweight.shape[1])
 
 
 jax.tree_util.register_pytree_with_keys_class(QuantizedLinear)
+
+# int4 Pallas tile grid; quantize-time padding targets multiples of these.
+_I4_TM, _I4_TN, _I4_TK = 8, 1024, 2048
 
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
@@ -70,13 +95,22 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8,
         if q.shape[0] % 2:
             raise ValueError("int4 packing requires even in dim")
         # ROW-pair packing: nibbles hold w[2k, n] (lo) and w[2k+1, n]
-        # (hi). This lets the Pallas kernel dequantize without any
-        # interleave/shape-cast (Mosaic rejects those): the matmul
-        # splits as x_even @ lo + x_odd @ hi.
+        # (hi). This lets both the Pallas kernel and the fused-XLA GEMV
+        # dequantize without any interleave/shape-cast (Mosaic rejects
+        # those, and jnp.stack+reshape breaks XLA's dot-operand fusion):
+        # the matmul splits as x_even @ lo + x_odd @ hi.
         lo = (q[0::2, :] + 8).astype(jnp.uint8)          # [in/2, out]
         hi = (q[1::2, :] + 8).astype(jnp.uint8)
         packed = (lo | (hi << 4)).astype(jnp.uint8)
-        return QuantizedLinear(packed, scale.astype(jnp.float32), 4, bias)
+        K, N = w.shape
+        pk2 = (-packed.shape[0]) % (_I4_TK // 2)
+        pn = (-N) % _I4_TN
+        if pk2 or pn:  # pay the pad copy ONCE here, never per matmul
+            packed = jnp.pad(packed, ((0, pk2), (0, pn)),
+                             constant_values=0x88)  # 0x88 = (0, 0) nibbles
+            scale = jnp.pad(scale, (0, pn), constant_values=1.0)
+        return QuantizedLinear(packed, scale.astype(jnp.float32), 4, bias,
+                               in_features=K, out_features=N)
     raise ValueError(f"bits must be 4 or 8, got {bits}")
 
 
@@ -86,19 +120,60 @@ def dequantize_weight(q: QuantizedLinear) -> jnp.ndarray:
     lo = (q.qweight & 0xF).astype(jnp.int32) - 8   # rows 0, 2, 4, ...
     hi = (q.qweight >> 4).astype(jnp.int32) - 8    # rows 1, 3, 5, ...
     out = jnp.stack([lo, hi], axis=1).reshape(2 * q.qweight.shape[0], -1)
-    return out.astype(jnp.float32) * q.scale[None, :]
+    out = out.astype(jnp.float32) * q.scale[None, :]
+    return out[:q.logical_in, :q.logical_out]
+
+
+def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
+    """Fused-XLA row-pair int4 GEMV: x [M, K] -> [M, N] fp32.
+
+    The unpack chain is pure elementwise on the packed weight, so XLA
+    fuses it into the dot operand exactly as it fuses the int8
+    ``qw * scale`` dequant — no fp weight ever materializes in HBM.
+    (The round-1 "XLA int4 is 15x slower" result came from the
+    stack+reshape formulation, which defeats that fusion.) Measured
+    faster than the Pallas kernel at narrow N (q/o/k/v/down GEMVs)
+    where the kernel's per-call grid overhead dominates.
+    """
+    K = q.logical_in
+    xe = x[:, 0:K:2].astype(jnp.float32)
+    xo = x[:, 1:K:2].astype(jnp.float32)
+    K2p = q.qweight.shape[0]
+    if K2p != K // 2:  # padded rows: zero x contribution
+        xe = jnp.pad(xe, ((0, 0), (0, K2p - K // 2)))
+        xo = jnp.pad(xo, ((0, 0), (0, K2p - K // 2)))
+    sf = q.scale[None, :]
+    lo = ((q.qweight & 0xF).astype(jnp.int32) - 8).astype(jnp.float32) * sf
+    hi = ((q.qweight >> 4).astype(jnp.int32) - 8).astype(jnp.float32) * sf
+    y = jnp.dot(xe, lo) + jnp.dot(xo, hi)
+    return y[:, :q.logical_out]
 
 
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
                  use_pallas: bool = False) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
 
-    int4 on TPU always uses the Pallas tiled kernel: XLA's nibble-unpack
-    materializes the full fp32 weight per call (measured 15x slower at
-    decode shapes); the kernel unpacks per-tile in VMEM.
+    int4 on TPU routes by shape (all three measured, BENCH.md round 2):
+    - GEMV (M <= 32), wide N: Pallas tiled kernel with in-VMEM unpack —
+      streams the pre-padded weight at ~250-530 GB/s;
+    - GEMV, narrow N: fused-XLA row-pair (:func:`_int4_gemv_xla`) — the
+      Pallas per-call overhead (~20 us) loses to XLA's fused GEMV there;
+    - prefill (M > 32): materialized bf16 dequant + MXU dot — the matmul
+      is compute-bound, and the Pallas kernel's 8-row M tiles would
+      re-stream the whole weight per M tile.
     """
     if q.bits == 4 and jax.default_backend() == "tpu" and x.ndim == 2:
-        y = quant_matmul_pallas_int4(x, q.qweight, q.scale)
+        M = x.shape[0]
+        if M <= 32 and q.qweight.shape[1] >= 4 * _I4_TN:
+            y = quant_matmul_pallas_int4(x, q.qweight, q.scale,
+                                         out_features=q.logical_out,
+                                         in_features=q.logical_in)
+        elif M <= 32:
+            y = _int4_gemv_xla(x, q)
+        else:
+            w = dequantize_weight(q).astype(jnp.bfloat16)
+            y = jnp.dot(x.astype(jnp.bfloat16), w,
+                        preferred_element_type=jnp.float32)
     elif use_pallas and q.bits == 8 and jax.default_backend() == "tpu" \
             and x.ndim == 2:
         y = quant_matmul_pallas(x, q.qweight, q.scale)
@@ -125,9 +200,6 @@ def _qmm_kernel(x_ref, qw_ref, scale_ref, o_ref):
 
 
 # int4: tiled matmul with per-tile nibble unpack in VMEM
-_I4_TM, _I4_TN, _I4_TK = 8, 512, 1024
-
-
 def _qmm4_kernel(xe_ref, xo_ref, packed_ref, scale_ref, o_ref, acc_ref):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -155,27 +227,36 @@ def _qmm4_kernel(xe_ref, xo_ref, packed_ref, scale_ref, o_ref, acc_ref):
 
 
 def quant_matmul_pallas_int4(x: jnp.ndarray, packed: jnp.ndarray,
-                             scale: jnp.ndarray) -> jnp.ndarray:
-    """x [M, K] @ unpack_int4(packed [K/2, N]) * scale[N].
+                             scale: jnp.ndarray,
+                             out_features: Optional[int] = None,
+                             in_features: Optional[int] = None
+                             ) -> jnp.ndarray:
+    """x [M, K] @ unpack_int4(packed [K2p, Np]) * scale[Np].
 
     Row-pair packing: the kernel computes x_even @ lo + x_odd @ hi with
     the nibble unpack per-tile in VMEM (never materializing the fp
     weight in HBM). x_even/x_odd are strided views taken in XLA.
+
+    ``packed``/``scale`` MUST be tile-aligned (quantize_weight pre-pads
+    to multiples of _I4_TK/2 x _I4_TN) — padding the weight here would
+    copy it every call, which was the round-1 kernel's dominant cost.
+    Only the (tiny) activation is padded at runtime.
     """
     M, K = x.shape
-    N = packed.shape[1]
-    xe, xo = x[:, 0::2], x[:, 1::2]  # [M, K/2]
-    K2 = K // 2
+    K2p, Np = packed.shape
+    if K2p % (_I4_TK // 2) or Np % _I4_TN:
+        raise ValueError(
+            f"packed weight {packed.shape} is not tile-aligned "
+            f"({_I4_TK // 2} x {_I4_TN}); quantize with quantize_weight "
+            "(which pre-pads) instead of packing by hand")
+    Kl = in_features if in_features is not None else K
+    xe, xo = x[:, 0:Kl:2], x[:, 1:Kl:2]  # [M, K/2]
     pm = (-M) % _I4_TM
-    pn = (-N) % _I4_TN
-    pk2 = (-K2) % (_I4_TK // 2)
+    pk2 = K2p - xe.shape[1]
     if pm or pk2:
         xe = jnp.pad(xe, ((0, pm), (0, pk2)))
         xo = jnp.pad(xo, ((0, pm), (0, pk2)))
-    qp = jnp.pad(packed, ((0, pk2), (0, pn))) if (pk2 or pn) else packed
-    sp = jnp.pad(scale, (0, pn)) if pn else scale
-    Mp, K2p = xe.shape
-    Np = qp.shape[1]
+    Mp = xe.shape[0]
     y = pl.pallas_call(
         _qmm4_kernel,
         grid=(Mp // _I4_TM, Np // _I4_TN, K2p // (_I4_TK // 2)),
@@ -196,8 +277,8 @@ def quant_matmul_pallas_int4(x: jnp.ndarray, packed: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
         scratch_shapes=[pltpu.VMEM((_I4_TM, _I4_TN), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(xe, xo, qp, sp.reshape(1, -1))
-    return y[:M, :N]
+    )(xe, xo, packed, scale.reshape(1, -1))
+    return y[:M, :out_features if out_features is not None else Np]
 
 
 def quant_matmul_pallas(x: jnp.ndarray, qweight: jnp.ndarray,

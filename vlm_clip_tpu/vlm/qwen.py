@@ -375,7 +375,7 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
 
     def __init__(self, clip_params, clip_cfg, clip_tokenizer,
                  weights_path: Optional[str] = None,
-                 quant_bits: Optional[int] = 8, policy=None,
+                 quant_bits=8, policy=None,
                  max_new_tokens: int = 200,
                  fixed_resolution: Optional[int] = 448,
                  sampling: Optional[SamplingConfig] = None,
@@ -386,14 +386,25 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 "Qwen2.5-VL weights not found (expected a directory with "
                 "safetensors + tokenizer.json); pass weights_path or use "
                 "the stub/cache context backends")
-        from vlm_clip_tpu.vlm.qwen_convert import (convert_qwen_vl,
+        from vlm_clip_tpu.vlm.qwen_convert import (MIXED_DECODE_BITS,
+                                                   convert_qwen_vl,
                                                    quantize_qwen_params)
         from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
 
         sd = load_safetensors_dir(weights_path)
         self.qwen_cfg = qwen25vl_3b()
         params = convert_qwen_vl(sd, self.qwen_cfg)
-        if quant_bits:
+        if quant_bits == "mixed":
+            # int4 on wide-N GEMVs + int4 untied head, int8 elsewhere —
+            # near-int8 decode speed at ~2/3 the weight memory (BENCH.md)
+            import dataclasses as _dc
+
+            params = quantize_qwen_params(params, MIXED_DECODE_BITS,
+                                          head_bits=4)
+            self.qwen_cfg = _dc.replace(
+                self.qwen_cfg, text=_dc.replace(
+                    self.qwen_cfg.text, tie_word_embeddings=False))
+        elif quant_bits:
             params = quantize_qwen_params(params, quant_bits)
         self.generator = QwenVLGenerator(params, self.qwen_cfg)
         tok_json = os.path.join(weights_path, "tokenizer.json")

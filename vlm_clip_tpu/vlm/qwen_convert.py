@@ -113,29 +113,57 @@ def convert_qwen_vl(sd: Mapping[str, Any], cfg: QwenVLConfig
             "vision": convert_qwen_vision(sd, cfg.vision)}
 
 
-def quantize_qwen_params(params: Dict[str, Any], bits: int = 8
-                         ) -> Dict[str, Any]:
+# Mixed-precision decode preset (measured on v5e, BENCH.md round 2):
+# int4 only where the wide-N Pallas GEMV makes it speed-NEUTRAL vs int8
+# (gate/up: N=11008), int8 where narrow N leaves int4 unpack-throughput-
+# bound (q/k/v/o/down). Combined with head_bits=4 this sits near int8
+# speed at ~2/3 of its weight memory.
+MIXED_DECODE_BITS: Dict[str, int] = {"mlp/gate": 4, "mlp/up": 4,
+                                     "default": 8}
+
+
+def quantize_qwen_params(params: Dict[str, Any], bits=8,
+                         head_bits: int = 0) -> Dict[str, Any]:
     """Quantize every linear kernel (weight-only); embeddings/norms stay
     fp. Mirrors the reference's 4-bit-everything bitsandbytes policy
-    (model_v.py:46-51) with int8/int4."""
+    (model_v.py:46-51) with int8/int4.
+
+    ``bits``: an int, or a {path-substring: bits} mapping with a
+    "default" key (e.g. :data:`MIXED_DECODE_BITS`) matched against
+    slash-joined pytree paths like ``text/layers/mlp/gate``.
+    ``head_bits``: if nonzero, additionally quantize the (tied) LM head
+    from ``embed_tokens.T`` into an untied ``lm_head`` — the bf16 tied
+    head streams 0.62 GB/token, the single largest decode tensor. The
+    caller must then run the model with ``tie_word_embeddings=False``.
+    """
 
     from vlm_clip_tpu.ops.quant import QuantizedLinear
 
-    def quantize_node(node):
+    def bits_for(path: str) -> int:
+        if isinstance(bits, int):
+            return bits
+        for key, b in bits.items():
+            if key != "default" and key in path:
+                return b
+        return bits["default"]
+
+    def quantize_node(node, path):
+        b = bits_for(path)
         kernel = node["kernel"]
         bias = node.get("bias")
         if kernel.ndim == 2:
-            return quantize_weight(kernel, bits, bias)
+            return quantize_weight(kernel, b, bias)
         # stacked per-layer kernels [L, in, out]: vmap the quantizer
-        q = jax.vmap(lambda w: quantize_weight(w, bits))(kernel)
-        return QuantizedLinear(qweight=q.qweight, scale=q.scale, bits=bits,
-                               bias=bias)
+        q = jax.vmap(lambda w: quantize_weight(w, b))(kernel)
+        return QuantizedLinear(qweight=q.qweight, scale=q.scale, bits=b,
+                               bias=bias, in_features=q.in_features,
+                               out_features=q.out_features)
 
-    def walk(node):
+    def walk(node, path):
         if isinstance(node, dict):
             if "kernel" in node and node["kernel"].ndim in (2, 3):
-                return quantize_node(node)
-            return {k: walk(v) for k, v in node.items()}
+                return quantize_node(node, path)
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         return node
 
     out = {}
@@ -145,6 +173,10 @@ def quantize_qwen_params(params: Dict[str, Any], bits: int = 8
             if name in ("embed_tokens", "final_norm", "patch_embed"):
                 tower_out[name] = val  # keep fp
             else:
-                tower_out[name] = walk(val)
+                tower_out[name] = walk(val, f"{tower}/{name}")
         out[tower] = tower_out
+    if head_bits and "text" in out and "lm_head" not in out["text"]:
+        head_w = jnp.transpose(params["text"]["embed_tokens"]
+                               ).astype(jnp.float32)
+        out["text"]["lm_head"] = quantize_weight(head_w, head_bits)
     return out
