@@ -286,3 +286,39 @@ def test_emotic_training_learns_and_feeds_eval():
     res = evaluate_emotic(params, cfg, tok, loader, adapter_params=head,
                           alpha=0.2, policy=FP32)
     assert 0.0 <= res["mAP"] <= 1.0 and res["num_samples"] == n
+
+
+def test_train_emotic_cli_end_to_end(tmp_path, monkeypatch):
+    """cli/train_emotic on a synthetic npy dir: trains, saves a
+    round-trippable head, evaluates the test split."""
+    import vlm_clip_tpu.cli.common as common
+    from vlm_clip_tpu.cli.train_emotic import main as train_cli
+    from vlm_clip_tpu.train.trainer_emotic import load_emotic_head
+
+    cfg = tiny_clip_config()
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(cfg.text.vocab_size)
+    monkeypatch.setattr(common, "load_backbone",
+                        lambda *a, **k: (params, cfg))
+    monkeypatch.setattr(common, "make_tokenizer", lambda *a, **k: tok)
+
+    rng = np.random.default_rng(0)
+    sz = cfg.vision.image_size
+    for split, n in (("train", 12), ("test", 6)):
+        np.save(tmp_path / f"{split}_context_arr.npy",
+                rng.integers(0, 255, (n, sz, sz, 3), dtype=np.uint8))
+        np.save(tmp_path / f"{split}_body_arr.npy",
+                rng.integers(0, 255, (n, 64, 64, 3), dtype=np.uint8))
+        np.save(tmp_path / f"{split}_cat_arr.npy",
+                (rng.random((n, 26)) > 0.8).astype(np.float32))
+        np.save(tmp_path / f"{split}_cont_arr.npy",
+                rng.random((n, 3)).astype(np.float32) * 10)
+
+    out = tmp_path / "head.npz"
+    train_cli(["--data-dir", str(tmp_path), "--num-epochs", "2",
+               "--batch-size", "8", "--bottleneck", "16",
+               "--output", str(out)])
+    assert out.exists()
+    head = load_emotic_head(str(out))
+    assert set(head) == {"visual", "vad"}
+    assert head["vad"]["kernel"].shape == (cfg.projection_dim, 3)

@@ -116,6 +116,43 @@ def test_vision_forward_parity(hf_model, converted):
     np.testing.assert_allclose(ours, hf_out, atol=2e-4, rtol=1e-3)
 
 
+def test_vision_uniform_window_fast_path(hf_model, converted):
+    """The batched block-diagonal attention (uniform_window static arg)
+    must match the masked dense path AND the HF tower exactly."""
+    cfg, params = converted
+    vcfg = cfg.vision
+    grid = (1, 8, 8)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(7)
+    patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+    vin = QP.vision_inputs_from_patches(patches, grid, vcfg)
+    assert vin.uniform_window == 16  # 2x2 merge units of 2x2 patches
+    with torch.no_grad():
+        hf_out = hf_model.model.visual(
+            torch.from_numpy(patches),
+            grid_thw=torch.tensor([list(grid)])).numpy()
+    args = (params["vision"], jnp.asarray(vin.patches),
+            jnp.asarray(vin.rot_pos_emb), jnp.asarray(vin.window_mask),
+            jnp.asarray(vin.full_mask), vcfg)
+    masked = np.asarray(QM.vision_forward(*args))
+    fast = np.asarray(QM.vision_forward(
+        *args, uniform_window=vin.uniform_window))
+    np.testing.assert_allclose(fast, masked, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(fast[vin.reverse_index], hf_out,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_vision_ragged_grid_has_no_uniform_window():
+    """Grids whose window partition is ragged must fall back to the
+    masked path (uniform_window None)."""
+    vcfg = tiny_cfgs().vision
+    grid = (1, 6, 8)  # lh=3 not divisible by vit_ws=2 -> ragged windows
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    patches = np.zeros((48, in_dim), np.float32)
+    vin = QP.vision_inputs_from_patches(patches, grid, vcfg)
+    assert vin.uniform_window is None
+
+
 def test_generate_parity(hf_model, converted):
     """Greedy image+text generation matches HF token-for-token."""
     from vlm_clip_tpu.vlm.qwen import QwenVLGenerator

@@ -119,6 +119,43 @@ def encode_all_contexts(clip_params, cfg, dataset, batch_size: int = 64,
     return L.l2_normalize(feats).astype(jnp.float32)
 
 
+def save_emotic_head(path: str, params: Dict) -> None:
+    """Flat-npz export of the EMOTIC adapter + VAD head (mirrors the
+    reference's torch.save state-dict style with a dependency-free
+    format)."""
+    import os
+
+    import numpy as np
+
+    def flatten(node, prefix=""):
+        for k, v in node.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                yield from flatten(v, key)
+            else:
+                yield key, np.asarray(v)
+
+    flat = dict(flatten(params))
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_emotic_head(path: str) -> Dict:
+    import numpy as np
+
+    out: Dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out
+
+
 def train_emotic(clip_params, cfg, tokenizer, dataset,
                  num_epochs: int = 5, batch_size: int = 32,
                  learning_rate: float = 3e-4, alpha: float = 0.2,

@@ -220,29 +220,47 @@ class QwenVLGenerator:
             state = jax.lax.while_loop(cond, body, state)
             return state[3], state[4], state[5]
 
-        @jax.jit
-        def run_vision(vparams, patches, rope, wmask, fmask):
+        @functools.partial(jax.jit, static_argnames=("uw",))
+        def run_vision(vparams, patches, rope, wmask, fmask, uw=None):
             return vision_forward(vparams, patches.astype(self.dtype),
-                                  rope, wmask, fmask, cfg.vision)
+                                  rope, wmask, fmask, cfg.vision,
+                                  uniform_window=uw)
+
+        @functools.partial(jax.jit, static_argnames=("uw",))
+        def run_vision_batch(vp, patches, rope, wmask, fmask, uw=None):
+            return jax.vmap(
+                lambda pt: vision_forward(vp, pt.astype(self.dtype), rope,
+                                          wmask, fmask, cfg.vision,
+                                          uniform_window=uw))(patches)
 
         self._prefill = prefill
         self._decode_loop = decode_loop
         self._run_vision = run_vision
-        self._run_vision_batch = jax.jit(jax.vmap(
-            lambda vp, patches, rope, wmask, fmask: vision_forward(
-                vp, patches.astype(self.dtype), rope, wmask, fmask,
-                cfg.vision),
-            in_axes=(None, 0, None, None, None)))
+        self._run_vision_batch = run_vision_batch
+
+    @staticmethod
+    def _mask_args(vision: VisionInputs):
+        """Device mask operands for vision_forward: 1×1 dummies on the
+        uniform-window fast path (the masks are never read there —
+        skipping them saves 8 MB of H2D per 448² image)."""
+        import jax.numpy as jnp
+
+        if vision.uniform_window is not None:
+            z = jnp.zeros((1, 1), jnp.float32)
+            return z, z
+        return (jnp.asarray(vision.window_mask),
+                jnp.asarray(vision.full_mask))
 
     def embed_sequence(self, ids: np.ndarray, vision: VisionInputs):
         """Text embeds with vision embeds scattered over image-pad slots."""
         import jax.numpy as jnp
 
+        wmask, fmask = self._mask_args(vision)
         vis = self._run_vision(self.params["vision"],
                                jnp.asarray(vision.patches),
                                jnp.asarray(vision.rot_pos_emb),
-                               jnp.asarray(vision.window_mask),
-                               jnp.asarray(vision.full_mask))
+                               wmask, fmask,
+                               uw=vision.uniform_window)
         vis = vis[jnp.asarray(vision.reverse_index)]
         embeds = self.params["text"]["embed_tokens"][jnp.asarray(ids)]
         img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
@@ -329,9 +347,10 @@ class QwenVLGenerator:
         pos, delta = rope_index_single(ids, v0.grid, self.cfg)
         # batched vision tower (shared masks/rope: same grid everywhere)
         patches = jnp.stack([jnp.asarray(v.patches) for v in visions])
+        wmask, fmask = self._mask_args(v0)
         vis = self._run_vision_batch(
             self.params["vision"], patches, jnp.asarray(v0.rot_pos_emb),
-            jnp.asarray(v0.window_mask), jnp.asarray(v0.full_mask))
+            wmask, fmask, uw=v0.uniform_window)
         vis = vis[:, jnp.asarray(v0.reverse_index)]
         embeds = self.params["text"]["embed_tokens"][jnp.asarray(ids)]
         embeds = jnp.broadcast_to(embeds, (B,) + embeds.shape)

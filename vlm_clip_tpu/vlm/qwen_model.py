@@ -267,8 +267,47 @@ def text_forward(params: Params, embeds: jnp.ndarray,
 # vision tower
 # ---------------------------------------------------------------------------
 
-def vision_block(p, x, cos, sin, mask, cfg: QwenVisionConfig):
-    """x [S, H] (sequence-major, batchless like the HF tower)."""
+def _vision_attention(q, k, v, mask, scale):
+    """Dense masked attention, q/k/v [S, h, d]. ``mask=None`` means
+    full (unmasked) attention — the full-attention blocks' additive
+    mask is identically zero, so materializing it is pure HBM waste."""
+    scores = jnp.einsum("thd,shd->hts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)[None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("hts,shd->thd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _vision_attention_windowed(q, k, v, window: int, scale):
+    """Block-diagonal attention as a BATCHED dense attention over
+    contiguous uniform windows (q/k/v [S, h, d], S % window == 0).
+
+    Equivalent to :func:`_vision_attention` with the block-diagonal
+    additive mask when every window has ``window`` patches (rows are
+    already window-permuted — qwen_process.vision_inputs_from_patches),
+    but computes S*window instead of S*S scores: at 448² (S=1024,
+    window=64) that is 16× fewer attention FLOPs and a 16× smaller
+    softmax, with no mask read at all."""
+    S, h, d = q.shape
+    nw = S // window
+    qw = q.reshape(nw, window, h, d)
+    kw = k.reshape(nw, window, h, d)
+    vw = v.reshape(nw, window, h, d)
+    scores = jnp.einsum("wthd,wshd->whts", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("whts,wshd->wthd", probs.astype(v.dtype), vw,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(S, h, d).astype(v.dtype)
+
+
+def vision_block(p, x, cos, sin, mask, cfg: QwenVisionConfig,
+                 window: Optional[int] = None):
+    """x [S, H] (sequence-major, batchless like the HF tower).
+    ``window``: static uniform window length — use the batched
+    block-diagonal attention instead of ``mask``."""
     h = rms_norm(p["ln1"], x, cfg.rms_norm_eps)
     S = x.shape[0]
     qkv = linear(p["attn"]["qkv"], h).reshape(S, 3, cfg.num_heads,
@@ -276,13 +315,11 @@ def vision_block(p, x, cos, sin, mask, cfg: QwenVisionConfig):
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q, k = apply_rope(q[None], k[None], cos[None], sin[None])
     q, k = q[0], k[0]
-    scores = jnp.einsum("thd,shd->hts", q, k,
-                        preferred_element_type=jnp.float32) \
-        * (cfg.head_dim ** -0.5)
-    scores = scores + mask.astype(jnp.float32)[None]
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    attn = jnp.einsum("hts,shd->thd", probs.astype(x.dtype), v,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    scale = cfg.head_dim ** -0.5
+    if window is not None:
+        attn = _vision_attention_windowed(q, k, v, window, scale)
+    else:
+        attn = _vision_attention(q, k, v, mask, scale)
     x = x + linear(p["attn"]["proj"], attn.reshape(S, -1))
     x = x + swiglu_mlp(p["mlp"], rms_norm(p["ln2"], x, cfg.rms_norm_eps))
     return x
@@ -290,12 +327,19 @@ def vision_block(p, x, cos, sin, mask, cfg: QwenVisionConfig):
 
 def vision_forward(params: Params, patches: jnp.ndarray,
                    rot_pos_emb: jnp.ndarray, window_mask: jnp.ndarray,
-                   full_mask: jnp.ndarray, cfg: QwenVisionConfig
-                   ) -> jnp.ndarray:
+                   full_mask: jnp.ndarray, cfg: QwenVisionConfig,
+                   uniform_window: Optional[int] = None) -> jnp.ndarray:
     """patches [S, C*t*P*P] ALREADY window-permuted (host does the
     window_index shuffle, vlm/qwen_process.py); rot_pos_emb [S, head_dim/2]
     likewise permuted. Masks are additive [S, S]. Returns merged vision
-    embeds [S/4, out_hidden] in window order (host un-permutes)."""
+    embeds [S/4, out_hidden] in window order (host un-permutes).
+
+    ``uniform_window`` (static): when every window holds that many
+    patches (VisionInputs.uniform_window — true for 448² and any grid
+    with h, w divisible by 8), windowed blocks run the 16×-cheaper
+    batched block-diagonal attention and full blocks run unmasked;
+    neither mask array is read. Equivalence is tested against the
+    masked path (tests/test_qwen.py)."""
     x = jnp.dot(patches.astype(jnp.float32),
                 params["patch_embed"]["kernel"].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
@@ -307,10 +351,20 @@ def vision_forward(params: Params, patches: jnp.ndarray,
     for i in cfg.fullatt_block_indexes:
         is_full[i] = True
 
-    def body(h, inputs):
-        lp, full_flag = inputs
-        m = jnp.where(full_flag, full_mask, window_mask)
-        return vision_block(lp, h, cos, sin, m, cfg), None
+    if uniform_window is not None:
+        def body(h, inputs):
+            lp, full_flag = inputs
+            return jax.lax.cond(
+                full_flag,
+                lambda hh: vision_block(lp, hh, cos, sin, None, cfg),
+                lambda hh: vision_block(lp, hh, cos, sin, None, cfg,
+                                        window=uniform_window),
+                h), None
+    else:
+        def body(h, inputs):
+            lp, full_flag = inputs
+            m = jnp.where(full_flag, full_mask, window_mask)
+            return vision_block(lp, h, cos, sin, m, cfg), None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.asarray(is_full)))
 

@@ -224,10 +224,27 @@ def block_diag_mask(cu_seqlens: List[int], total: int) -> np.ndarray:
 class VisionInputs:
     patches: np.ndarray        # [S, C*t*P*P], window-permuted
     rot_pos_emb: np.ndarray    # [S, head_dim/2], window-permuted
-    window_mask: np.ndarray    # [S, S]
-    full_mask: np.ndarray      # [S, S]
+    cu_window: List[int]       # cumulative window seqlens (patch rows)
     reverse_index: np.ndarray  # [S/merge_unit] un-permute for outputs
     grid: Tuple[int, int, int]
+    # every window holds exactly this many patches (None if ragged);
+    # enables qwen_model.vision_forward's batched block-diagonal
+    # attention fast path — no [S, S] masks are built or uploaded
+    # (8 MB of H2D per 448² image through the axon tunnel otherwise)
+    uniform_window: Optional[int] = None
+
+    # The additive [S, S] masks are LAZY: uniform grids never touch
+    # them (vision_forward's fast path), so the 4 MB-each arrays are
+    # only materialized for ragged window partitions.
+    @property
+    def window_mask(self) -> np.ndarray:
+        S = self.patches.shape[0]
+        return block_diag_mask(self.cu_window, S)
+
+    @property
+    def full_mask(self) -> np.ndarray:
+        S = self.patches.shape[0]
+        return block_diag_mask([0, S], S)
 
     @property
     def num_vision_tokens(self) -> int:
@@ -259,15 +276,16 @@ def vision_inputs_from_patches(patches: np.ndarray,
     perm = (window_index[:, None] * mu + np.arange(mu)[None]).reshape(-1)
     patches = patches[perm]
     rope = rope[perm]
-    t, h, w = grid
-    full_cu = [0, t * h * w]
+    seqs = np.diff(cu_window)
+    uniform = (int(seqs[0]) if len(seqs) and (seqs == seqs[0]).all()
+               else None)
     return VisionInputs(
         patches=patches,
         rot_pos_emb=rope,
-        window_mask=block_diag_mask(cu_window, S),
-        full_mask=block_diag_mask(full_cu, S),
+        cu_window=cu_window,
         reverse_index=np.argsort(window_index),
         grid=grid,
+        uniform_window=uniform,
     )
 
 
