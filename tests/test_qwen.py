@@ -142,6 +142,30 @@ def test_vision_uniform_window_fast_path(hf_model, converted):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_u8_folded_patch_parity(converted):
+    """raw_uint8 patches + normalization-folded patch embed must match
+    the host-normalized fp32 path (clip.fold_image_normalization design
+    applied to the Qwen tower)."""
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    vin_fp = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32)
+    vin_u8 = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32,
+                                      raw_uint8=True)
+    assert vin_u8.patches.dtype == np.uint8
+    assert vin_u8.patches.shape == vin_fp.patches.shape
+    folded = QC.fold_qwen_patch_normalization(params["vision"], vcfg)
+    args = (jnp.asarray(vin_fp.rot_pos_emb),
+            jnp.asarray(vin_fp.window_mask),
+            jnp.asarray(vin_fp.full_mask), vcfg)
+    ref = np.asarray(QM.vision_forward(
+        params["vision"], jnp.asarray(vin_fp.patches), *args))
+    u8 = np.asarray(QM.vision_forward(
+        folded, jnp.asarray(vin_u8.patches), *args))
+    np.testing.assert_allclose(u8, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_vision_ragged_grid_has_no_uniform_window():
     """Grids whose window partition is ragged must fall back to the
     masked path (uniform_window None)."""

@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--new", type=int, default=200,
                    help="tokens to decode (reference max_new_tokens=200)")
     p.add_argument("--size", type=int, default=448)
+    p.add_argument("--u8", action="store_true",
+                   help="raw uint8 patches + normalization-folded patch "
+                        "embed (the extractor's default; 4x smaller "
+                        "host->device patch upload)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -39,7 +43,8 @@ def main(argv=None):
     from vlm_clip_tpu.cli.bench_decode import synth_quantized_text_params
     from vlm_clip_tpu.cli.bench_vision import synth_vision_params
     from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
-    from vlm_clip_tpu.vlm.qwen_convert import quantize_qwen_params
+    from vlm_clip_tpu.vlm.qwen_convert import (
+        fold_qwen_patch_normalization, quantize_qwen_params)
     from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
     from vlm_clip_tpu.vlm.qwen_process import prepare_vision_inputs
 
@@ -52,6 +57,8 @@ def main(argv=None):
     print(f"synthesizing 3B-shape params (bits={bits}) ...", flush=True)
     text = synth_quantized_text_params(cfg.text, bits, head_bits)
     vision = synth_vision_params(cfg.vision)
+    if args.u8:
+        vision = fold_qwen_patch_normalization(vision, cfg.vision)
     vision = quantize_qwen_params({"vision": vision}, 8)["vision"]
     gen = QwenVLGenerator({"text": text, "vision": vision}, cfg,
                           max_len=1536)
@@ -60,7 +67,8 @@ def main(argv=None):
     imgs = [rng.integers(0, 255, (args.size, args.size, 3), np.uint8)
             for _ in range(args.batch)]
     vins = [prepare_vision_inputs(im, cfg.vision,
-                                  fixed_resolution=args.size)
+                                  fixed_resolution=args.size,
+                                  raw_uint8=args.u8)
             for im in imgs]
     n_vis = vins[0].num_vision_tokens
     ids = np.asarray(
@@ -90,7 +98,7 @@ def main(argv=None):
              else sum(len(o) for o in out) / len(out))
     dt = min(times)
     per_img = dt / args.batch
-    print(f"bits={bits} B={args.batch}: {dt:.2f} s/call -> "
+    print(f"bits={bits} B={args.batch} u8={args.u8}: {dt:.2f} s/call -> "
           f"{per_img:.2f} s/image ({n_tok:.0f} tokens), "
           f"{3600/per_img:.0f} contexts/hour/chip")
 

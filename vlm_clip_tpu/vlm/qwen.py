@@ -158,6 +158,32 @@ class QwenVLGenerator:
                                          tcfg, mask, cache, jnp.int32(0))
             return logits[:, -1], cache
 
+        @functools.partial(jax.jit, static_argnames=("uw",),
+                           donate_argnames=("cache",))
+        def embed_prefill(params, patches, rope, wmask, fmask, rev, ids,
+                          img_slots, pos3, cache, uw=None):
+            """Vision tower + embed scatter + prefill in ONE dispatch.
+
+            The per-image path used to be ~6 host dispatches (vision,
+            un-permute gather, embed lookup, scatter, cast, prefill);
+            through the ~28 ms-RTT axon tunnel those round trips cost
+            more than the compute. patches [B, S, D] — raw uint8 when
+            the patch embed is normalization-folded
+            (fold_qwen_patch_normalization).
+            """
+            B = patches.shape[0]
+            vis = jax.vmap(
+                lambda pt: vision_forward(
+                    params["vision"], pt.astype(self.dtype), rope,
+                    wmask, fmask, cfg.vision, uniform_window=uw))(patches)
+            vis = vis[:, rev]                              # [B, n_vis, H]
+            embeds = params["text"]["embed_tokens"][ids]   # [T, H]
+            embeds = jnp.broadcast_to(embeds, (B,) + embeds.shape)
+            embeds = embeds.at[:, img_slots].set(
+                vis.astype(embeds.dtype))
+            return prefill(params["text"],
+                           embeds.astype(self.dtype), pos3, cache)
+
         def decode_step_inner(params, tokens, pos, cache, length):
             """tokens [B] at sequence rope position ``pos`` (scalar),
             written at cache row ``length`` (= tokens already cached)."""
@@ -234,9 +260,13 @@ class QwenVLGenerator:
                                           uniform_window=uw))(patches)
 
         self._prefill = prefill
+        self._embed_prefill = embed_prefill
         self._decode_loop = decode_loop
         self._run_vision = run_vision
         self._run_vision_batch = run_vision_batch
+        # set True (with a normalization-folded patch embed) to have
+        # generate()/generate_batch() ship raw uint8 patches
+        self.u8_patches = False
 
     @staticmethod
     def _mask_args(vision: VisionInputs):
@@ -300,7 +330,8 @@ class QwenVLGenerator:
                  resolution_buckets=None) -> List[int]:
         vision = prepare_vision_inputs(image, self.cfg.vision,
                                        fixed_resolution=fixed_resolution,
-                                       resolution_buckets=resolution_buckets)
+                                       resolution_buckets=resolution_buckets,
+                                       raw_uint8=self.u8_patches)
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
         return self.generate_from_ids(ids, vision, max_new_tokens,
@@ -320,7 +351,8 @@ class QwenVLGenerator:
         import jax.numpy as jnp
 
         visions = [prepare_vision_inputs(img, self.cfg.vision,
-                                         fixed_resolution=fixed_resolution)
+                                         fixed_resolution=fixed_resolution,
+                                         raw_uint8=self.u8_patches)
                    for img in images]
         v0 = visions[0]
         ids = build_prompt_ids(tokenizer, prompt_text,
@@ -345,25 +377,19 @@ class QwenVLGenerator:
                     f"pass fixed_resolution (or bucket by grid) for "
                     f"mixed-resolution batches")
         pos, delta = rope_index_single(ids, v0.grid, self.cfg)
-        # batched vision tower (shared masks/rope: same grid everywhere)
-        patches = jnp.stack([jnp.asarray(v.patches) for v in visions])
+        # one dispatch: batched vision tower + embed scatter + prefill
+        patches = np.stack([v.patches for v in visions])
         wmask, fmask = self._mask_args(v0)
-        vis = self._run_vision_batch(
-            self.params["vision"], patches, jnp.asarray(v0.rot_pos_emb),
-            wmask, fmask, uw=v0.uniform_window)
-        vis = vis[:, jnp.asarray(v0.reverse_index)]
-        embeds = self.params["text"]["embed_tokens"][jnp.asarray(ids)]
-        embeds = jnp.broadcast_to(embeds, (B,) + embeds.shape)
-        img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
-        embeds = embeds.at[:, jnp.asarray(img_slots)].set(
-            vis.astype(embeds.dtype))
-        embeds = embeds.astype(self.dtype)
-
         T = len(ids)
         cache = init_kv_cache(self.cfg.text, B, self.max_len, self.dtype)
-        pos3 = jnp.broadcast_to(jnp.asarray(pos)[:, None, :], (3, B, T))
-        logits, cache = self._prefill(self.params["text"], embeds, pos3,
-                                      cache)
+        pos3 = np.broadcast_to(np.asarray(pos)[:, None, :], (3, B, T))
+        img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
+        logits, cache = self._embed_prefill(
+            self.params, jnp.asarray(patches),
+            jnp.asarray(v0.rot_pos_emb), wmask, fmask,
+            jnp.asarray(v0.reverse_index), jnp.asarray(ids),
+            jnp.asarray(img_slots), jnp.asarray(pos3), cache,
+            uw=v0.uniform_window)
         return self._run_decode_loop(logits, cache, T, delta,
                                      max_new_tokens, sampling, seed, ids)
 
@@ -374,11 +400,17 @@ class QwenVLGenerator:
         import jax.numpy as jnp
 
         pos, delta = rope_index_single(ids, vision.grid, self.cfg)
-        embeds = self.embed_sequence(ids, vision)
+        wmask, fmask = self._mask_args(vision)
         T = len(ids)
         cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype)
-        logits, cache = self._prefill(self.params["text"], embeds,
-                                      jnp.asarray(pos)[:, None, :], cache)
+        img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
+        logits, cache = self._embed_prefill(
+            self.params, jnp.asarray(vision.patches)[None],
+            jnp.asarray(vision.rot_pos_emb), wmask, fmask,
+            jnp.asarray(vision.reverse_index), jnp.asarray(ids),
+            jnp.asarray(img_slots),
+            jnp.asarray(np.asarray(pos)[:, None, :]), cache,
+            uw=vision.uniform_window)
         return self._run_decode_loop(logits, cache, T, delta,
                                      max_new_tokens, sampling, seed,
                                      ids)[0]
@@ -405,14 +437,18 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 "Qwen2.5-VL weights not found (expected a directory with "
                 "safetensors + tokenizer.json); pass weights_path or use "
                 "the stub/cache context backends")
-        from vlm_clip_tpu.vlm.qwen_convert import (MIXED_DECODE_BITS,
-                                                   convert_qwen_vl,
-                                                   quantize_qwen_params)
+        from vlm_clip_tpu.vlm.qwen_convert import (
+            MIXED_DECODE_BITS, convert_qwen_vl,
+            fold_qwen_patch_normalization, quantize_qwen_params)
         from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
 
         sd = load_safetensors_dir(weights_path)
         self.qwen_cfg = qwen25vl_3b()
         params = convert_qwen_vl(sd, self.qwen_cfg)
+        # ship raw uint8 patches (4x smaller H2D); numerically folds the
+        # processor's normalize into the patch embed
+        params["vision"] = fold_qwen_patch_normalization(
+            params["vision"], self.qwen_cfg.vision)
         if quant_bits == "mixed":
             # int4 on wide-N GEMVs + int4 untied head, int8 elsewhere —
             # near-int8 decode speed at ~2/3 the weight memory (BENCH.md)
@@ -426,6 +462,7 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         elif quant_bits:
             params = quantize_qwen_params(params, quant_bits)
         self.generator = QwenVLGenerator(params, self.qwen_cfg)
+        self.generator.u8_patches = True
         tok_json = os.path.join(weights_path, "tokenizer.json")
         self.qwen_tokenizer = QwenBPETokenizer(tok_json)
         self.max_new_tokens = max_new_tokens

@@ -113,6 +113,36 @@ def convert_qwen_vl(sd: Mapping[str, Any], cfg: QwenVLConfig
             "vision": convert_qwen_vision(sd, cfg.vision)}
 
 
+def fold_qwen_patch_normalization(vision_params: Dict[str, Any],
+                                  cfg: QwenVisionConfig,
+                                  mean=None, std=None) -> Dict[str, Any]:
+    """Fold ``(x/255 - mean)/std`` into the vision patch embed so the
+    host ships RAW uint8 patches (4× smaller transfers; same design as
+    clip.fold_image_normalization, the reference's CLIPProcessor
+    normalize — processor config of the Qwen2.5-VL checkpoint).
+
+    Patch rows are flattened (C, t, P, P) — channel slowest in blocks
+    of t*P*P (convert_qwen_vision kernel layout) — so the per-channel
+    affine folds to a row-block rescale plus one bias vector:
+    ``norm(x) @ W = u8 @ (W * a[:, None]) + (-shift) @ W``.
+    Use with ``prepare_vision_inputs(raw_uint8=True)``.
+    """
+    from vlm_clip_tpu.core.config import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    mean = np.asarray(mean if mean is not None else CLIP_IMAGE_MEAN,
+                      np.float32)
+    std = np.asarray(std if std is not None else CLIP_IMAGE_STD,
+                     np.float32)
+    kernel = np.asarray(vision_params["patch_embed"]["kernel"], np.float32)
+    tpp = kernel.shape[0] // 3  # t * P * P entries per channel block
+    a = np.repeat(1.0 / (255.0 * std), tpp)            # [C*t*P*P]
+    shift = np.repeat(mean / std, tpp)                 # [C*t*P*P]
+    out = dict(vision_params)
+    out["patch_embed"] = {"kernel": jnp.asarray(kernel * a[:, None]),
+                          "bias": jnp.asarray(-shift @ kernel)}
+    return out
+
+
 # Mixed-precision decode preset (measured on v5e, BENCH.md round 2):
 # int4 only where the wide-N Pallas GEMV makes it speed-NEUTRAL vs int8
 # (gate/up: N=11008), int8 where narrow N leaves int4 unpack-throughput-

@@ -340,9 +340,14 @@ def vision_forward(params: Params, patches: jnp.ndarray,
     batched block-diagonal attention and full blocks run unmasked;
     neither mask array is read. Equivalence is tested against the
     masked path (tests/test_qwen.py)."""
+    if not jnp.issubdtype(patches.dtype, jnp.floating):
+        patches = patches.astype(jnp.float32)  # raw uint8 patch path
+    pe = params["patch_embed"]
     x = jnp.dot(patches.astype(jnp.float32),
-                params["patch_embed"]["kernel"].astype(jnp.float32),
+                pe["kernel"].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
+    if "bias" in pe:  # normalization-folded uint8 patch path
+        x = x + pe["bias"].astype(jnp.float32)
     x = x.astype(patches.dtype) if patches.dtype != jnp.float32 else x
     emb = jnp.concatenate([rot_pos_emb, rot_pos_emb], axis=-1)
     cos, sin = jnp.cos(emb), jnp.sin(emb)

@@ -103,7 +103,8 @@ def image_to_patches(image, cfg: QwenVisionConfig,
                      max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
                      fixed_resolution: Optional[int] = 448,
                      resolution_buckets: Optional[
-                         Tuple[Tuple[int, int], ...]] = None
+                         Tuple[Tuple[int, int], ...]] = None,
+                     raw_uint8: bool = False
                      ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """PIL/array image -> (patches [S, C*t*P*P] fp32, grid (t, h, w)).
 
@@ -116,6 +117,11 @@ def image_to_patches(image, cfg: QwenVisionConfig,
     - ``fixed_resolution=None, resolution_buckets=...``: smart_resize
       target snapped to the nearest bucket (aspect then area) — bounded
       compile count with near-HF resolution behavior.
+
+    ``raw_uint8``: skip host normalization and emit uint8 patches (4×
+    smaller host→device transfer); requires the model's patch embed to
+    be folded with ``qwen_convert.fold_qwen_patch_normalization`` (same
+    design as clip.fold_image_normalization).
     """
     from PIL import Image
 
@@ -137,10 +143,13 @@ def image_to_patches(image, cfg: QwenVisionConfig,
                     f"resolution factor {f}; build buckets with "
                     f"default_resolution_buckets(factor={f})")
     pil = pil.resize((rw, rh), Image.BICUBIC)
-    arr = np.asarray(pil, np.float32) / 255.0
-    arr = (arr - np.asarray(CLIP_IMAGE_MEAN, np.float32)) \
-        / np.asarray(CLIP_IMAGE_STD, np.float32)
-    arr = arr.transpose(2, 0, 1)  # CHW
+    if raw_uint8:
+        arr = np.asarray(pil, np.uint8).transpose(2, 0, 1)  # CHW uint8
+    else:
+        arr = np.asarray(pil, np.float32) / 255.0
+        arr = (arr - np.asarray(CLIP_IMAGE_MEAN, np.float32)) \
+            / np.asarray(CLIP_IMAGE_STD, np.float32)
+        arr = arr.transpose(2, 0, 1)  # CHW
     t, C, P, M = cfg.temporal_patch_size, 3, cfg.patch_size, \
         cfg.spatial_merge_size
     frames = np.repeat(arr[None], t, axis=0)  # temporal repeat for images
@@ -150,7 +159,8 @@ def image_to_patches(image, cfg: QwenVisionConfig,
                              grid_w // M, M, P)
     patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
     flat = patches.reshape(grid_t * grid_h * grid_w, C * t * P * P)
-    return flat.astype(np.float32), (grid_t, grid_h, grid_w)
+    return (flat if raw_uint8 else flat.astype(np.float32)), \
+        (grid_t, grid_h, grid_w)
 
 
 def vision_rot_pos_ids(grid: Tuple[int, int, int],
@@ -257,10 +267,11 @@ def prepare_vision_inputs(image, cfg: QwenVisionConfig,
                           max_pixels: int = VLM_DEFAULT_MAX_PIXELS,
                           fixed_resolution: Optional[int] = 448,
                           resolution_buckets: Optional[
-                              Tuple[Tuple[int, int], ...]] = None
-                          ) -> VisionInputs:
+                              Tuple[Tuple[int, int], ...]] = None,
+                          raw_uint8: bool = False) -> VisionInputs:
     patches, grid = image_to_patches(image, cfg, min_pixels, max_pixels,
-                                     fixed_resolution, resolution_buckets)
+                                     fixed_resolution, resolution_buckets,
+                                     raw_uint8)
     return vision_inputs_from_patches(patches, grid, cfg)
 
 
