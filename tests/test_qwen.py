@@ -282,6 +282,31 @@ def test_mixed_quantization_preset(converted):
     assert agree.mean() >= 0.7, agree.mean()  # int4 head is coarser
 
 
+def test_fused_decode_layout_matches_unfused(converted):
+    """quantize_qwen_params(fuse_decode=True): qkv/gateup-fused text
+    forward equals the unfused quantized forward (same scales — concat
+    is per-output-channel)."""
+    cfg, params = converted
+    q_plain = QC.quantize_qwen_params(params, 8)
+    q_fused = QC.quantize_qwen_params(params, 8, fuse_decode=True)
+    layers = q_fused["text"]["layers"]
+    assert "qkv" in layers["attn"] and "gateup" in layers["mlp"]
+    assert "q" not in layers["attn"] and "gate" not in layers["mlp"]
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 200, (2, 6))
+    pos = np.broadcast_to(np.arange(6), (3, 2, 6))
+    embeds = params["text"]["embed_tokens"][jnp.asarray(ids)]
+    mask = jnp.where(jnp.tril(jnp.ones((6, 6), bool))[None, None], 0.0,
+                     -3.4028235e38)
+    ref, _ = QM.text_forward(q_plain["text"], embeds, jnp.asarray(pos),
+                             cfg.text, mask)
+    got, _ = QM.text_forward(q_fused["text"], embeds, jnp.asarray(pos),
+                             cfg.text, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_generate_batch_matches_single(converted):
     """Batched greedy decode rows == independent single-image decodes."""
     from vlm_clip_tpu.vlm.qwen import QwenVLGenerator

@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def synth_quantized_text_params(cfg, bits: int, head_bits: int = 0,
-                                seed: int = 0):
+                                seed: int = 0, fused: bool = False):
     """Random 3B-shape text params with quantized linears.
 
     Matches the pytree layout of vlm/qwen_convert.quantize_qwen_params:
@@ -69,23 +69,29 @@ def synth_quantized_text_params(cfg, bits: int, head_bits: int = 0,
             jnp.zeros((L, n), jnp.float32) if bias else None,
             in_features=k, out_features=n)
 
+    if fused:
+        attn = {"qkv": qlin(H, (heads + 2 * kv) * hd, True,
+                            role_bits("attn/qkv")),
+                "o": qlin(heads * hd, H, False, role_bits("attn/o"))}
+        mlp = {"gateup": qlin(H, 2 * inter, False,
+                              role_bits("mlp/gateup")),
+               "down": qlin(inter, H, False, role_bits("mlp/down"))}
+    else:
+        attn = {"q": qlin(H, heads * hd, True, role_bits("attn/q")),
+                "k": qlin(H, kv * hd, True, role_bits("attn/k")),
+                "v": qlin(H, kv * hd, True, role_bits("attn/v")),
+                "o": qlin(heads * hd, H, False, role_bits("attn/o"))}
+        mlp = {"gate": qlin(H, inter, False, role_bits("mlp/gate")),
+               "up": qlin(H, inter, False, role_bits("mlp/up")),
+               "down": qlin(inter, H, False, role_bits("mlp/down"))}
     params = {
         "embed_tokens": jnp.asarray(
             rng.normal(size=(cfg.vocab_size, H)).astype(np.float32) * 0.02,
             jnp.bfloat16),
         "final_norm": {"scale": jnp.ones((H,), jnp.float32)},
         "layers": {
-            "attn": {
-                "q": qlin(H, heads * hd, True, role_bits("attn/q")),
-                "k": qlin(H, kv * hd, True, role_bits("attn/k")),
-                "v": qlin(H, kv * hd, True, role_bits("attn/v")),
-                "o": qlin(heads * hd, H, False, role_bits("attn/o")),
-            },
-            "mlp": {
-                "gate": qlin(H, inter, False, role_bits("mlp/gate")),
-                "up": qlin(H, inter, False, role_bits("mlp/up")),
-                "down": qlin(inter, H, False, role_bits("mlp/down")),
-            },
+            "attn": attn,
+            "mlp": mlp,
             "ln1": {"scale": jnp.ones((L, H), jnp.float32)},
             "ln2": {"scale": jnp.ones((L, H), jnp.float32)},
         },
@@ -108,6 +114,9 @@ def main(argv=None):
     p.add_argument("--new", type=int, default=64, help="tokens to decode")
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--fused", action="store_true",
+                   help="fused qkv/gateup decode GEMVs (the extractor's "
+                        "default layout)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -129,7 +138,8 @@ def main(argv=None):
     cfg = QwenVLConfig(text=tcfg)
     print(f"synthesizing 3B-shape params (bits={bits}, "
           f"head_bits={head_bits}) ...", flush=True)
-    text = synth_quantized_text_params(tcfg, bits, head_bits)
+    text = synth_quantized_text_params(tcfg, bits, head_bits,
+                                       fused=args.fused)
     gen = QwenVLGenerator({"text": text, "vision": {}}, cfg,
                           max_len=args.max_len)
 
@@ -160,7 +170,7 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     per_tok = dt / args.new
-    print(f"bits={bits} head_bits={head_bits} B={B}: "
+    print(f"bits={bits} head_bits={head_bits} B={B} fused={args.fused}: "
           f"{dt*1e3:.1f} ms for {args.new} tokens -> "
           f"{per_tok*1e3:.2f} ms/token, "
           f"{B/per_tok:.1f} tok/s aggregate")

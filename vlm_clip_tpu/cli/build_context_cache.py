@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vlm-backend", default="stub",
                    choices=["stub", "qwen"])
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="images per batched VLM decode (qwen backend: "
+                        "B=8 measured ~3x the per-image rate)")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -50,6 +53,19 @@ def main(argv=None) -> None:
     samples = scan_class_folders(Path(args.data_dir))
     texts, feats = {}, {}
     n_fail = 0
+    batched = hasattr(extractor, "extract_contexts_batch") \
+        and args.batch_size > 1
+
+    def record(key, desc):
+        nonlocal n_fail
+        texts[key] = desc
+        f = extractor.encode_context_descriptions(desc)
+        if f is not None:
+            feats[key] = np.asarray(f, np.float32).reshape(-1)
+        else:
+            n_fail += 1
+
+    pending = []  # (key, img) awaiting a batched decode
     for i, (path, _label) in enumerate(samples):
         key = CachedContextExtractor.key_for(path)
         try:
@@ -58,15 +74,20 @@ def main(argv=None) -> None:
             texts[key] = None
             n_fail += 1
             continue
-        desc = extractor.extract_context_from_image(img)
-        texts[key] = desc
-        f = extractor.encode_context_descriptions(desc)
-        if f is not None:
-            feats[key] = np.asarray(f, np.float32).reshape(-1)
+        if batched:
+            pending.append((key, img))
+            if len(pending) == args.batch_size:
+                descs = extractor.extract_contexts_batch(
+                    [im for _, im in pending])
+                for (k, _), d in zip(pending, descs):
+                    record(k, d)
+                pending = []
         else:
-            n_fail += 1
+            record(key, extractor.extract_context_from_image(img))
         if (i + 1) % 100 == 0:
             print(f"  {i + 1}/{len(samples)} contexts built")
+    for k, im in pending:  # ragged tail: per-image path
+        record(k, extractor.extract_context_from_image(im))
 
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "contexts.json"), "w") as f:

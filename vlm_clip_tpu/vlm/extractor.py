@@ -104,6 +104,11 @@ class StubContextExtractor(ClipTextEncoderMixin):
             print(f"Error processing image for VLM context: {e}")
             return None
 
+    def extract_contexts_batch(self, images):
+        """Batched contract mirror of QwenVLContextExtractor — row i
+        equals extract_context_from_image(images[i])."""
+        return [self.extract_context_from_image(im) for im in images]
+
 
 class CachedContextExtractor:
     """Replays a context cache keyed by image path (or content hash).

@@ -455,12 +455,14 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
             import dataclasses as _dc
 
             params = quantize_qwen_params(params, MIXED_DECODE_BITS,
-                                          head_bits=4)
+                                          head_bits=4, fuse_decode=True)
             self.qwen_cfg = _dc.replace(
                 self.qwen_cfg, text=_dc.replace(
                     self.qwen_cfg.text, tie_word_embeddings=False))
         elif quant_bits:
-            params = quantize_qwen_params(params, quant_bits)
+            # single-chip extractor: fused qkv/gateup decode GEMVs
+            params = quantize_qwen_params(params, quant_bits,
+                                          fuse_decode=True)
         self.generator = QwenVLGenerator(params, self.qwen_cfg)
         self.generator.u8_patches = True
         tok_json = os.path.join(weights_path, "tokenizer.json")
@@ -489,6 +491,30 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         except Exception as e:  # None-on-error (model_v.py:124-126)
             print(f"Error processing image for VLM context: {e}")
             return None
+
+    def extract_contexts_batch(self, images) -> List[Optional[str]]:
+        """Batched extraction: shared prompt, fixed resolution, one
+        decode loop for the whole batch. Decode is weight-streaming-
+        bound, so throughput scales ~linearly with batch size (B=8
+        measured 3.1× the per-image rate end-to-end, BENCH.md). Rows
+        that fail fall back to per-image extraction (None-on-error)."""
+        try:
+            self._n_generated += 1
+            id_lists = self.generator.generate_batch(
+                list(images), VLM_PROMPT, self.qwen_tokenizer,
+                max_new_tokens=self.max_new_tokens,
+                fixed_resolution=self.fixed_resolution or 448,
+                sampling=self.sampling,
+                seed=self.seed + self._n_generated)
+            out = []
+            for ids in id_lists:
+                text = self.qwen_tokenizer.decode(ids).strip()
+                out.append(text if text else None)
+            return out
+        except Exception as e:
+            print(f"Batched VLM context extraction failed ({e}); "
+                  f"falling back to per-image")
+            return [self.extract_context_from_image(im) for im in images]
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:

@@ -149,11 +149,33 @@ def fold_qwen_patch_normalization(vision_params: Dict[str, Any],
 # bound (q/k/v/o/down). Combined with head_bits=4 this sits near int8
 # speed at ~2/3 of its weight memory.
 MIXED_DECODE_BITS: Dict[str, int] = {"mlp/gate": 4, "mlp/up": 4,
-                                     "default": 8}
+                                     "mlp/gateup": 4, "default": 8}
+
+
+def _fuse_decode_layers(layers: Dict[str, Any]) -> Dict[str, Any]:
+    """Concat q/k/v -> qkv and gate/up -> gateup on the stacked fp
+    kernels (axis -1). Per-output-channel quantization scales are
+    unchanged by concatenation, so fused-then-quantized equals
+    quantized-then-concatenated."""
+    def cat(nodes):
+        out = {"kernel": jnp.concatenate([n["kernel"] for n in nodes],
+                                         axis=-1)}
+        if all(n.get("bias") is not None for n in nodes):
+            out["bias"] = jnp.concatenate([n["bias"] for n in nodes],
+                                          axis=-1)
+        return out
+
+    attn, mlp = layers["attn"], layers["mlp"]
+    return {**layers,
+            "attn": {"qkv": cat([attn["q"], attn["k"], attn["v"]]),
+                     "o": attn["o"]},
+            "mlp": {"gateup": cat([mlp["gate"], mlp["up"]]),
+                    "down": mlp["down"]}}
 
 
 def quantize_qwen_params(params: Dict[str, Any], bits=8,
-                         head_bits: int = 0) -> Dict[str, Any]:
+                         head_bits: int = 0,
+                         fuse_decode: bool = False) -> Dict[str, Any]:
     """Quantize every linear kernel (weight-only); embeddings/norms stay
     fp. Mirrors the reference's 4-bit-everything bitsandbytes policy
     (model_v.py:46-51) with int8/int4.
@@ -165,9 +187,21 @@ def quantize_qwen_params(params: Dict[str, Any], bits=8,
     from ``embed_tokens.T`` into an untied ``lm_head`` — the bf16 tied
     head streams 0.62 GB/token, the single largest decode tensor. The
     caller must then run the model with ``tie_word_embeddings=False``.
+    ``fuse_decode``: concat text q/k/v -> qkv and gate/up -> gateup
+    before quantizing (text_decoder_layer detects the fused keys).
+    Decode GEMVs are per-call-overhead-bound (~9-15 us each, BENCH.md
+    round 2), so 3 fewer launches/layer is a direct win. Single-chip
+    layout: the TP partition rules match q/k/v names and do NOT cover
+    fused trees.
     """
 
     from vlm_clip_tpu.ops.quant import QuantizedLinear
+
+    if fuse_decode and "text" in params:
+        params = dict(params)
+        params["text"] = dict(params["text"])
+        params["text"]["layers"] = _fuse_decode_layers(
+            params["text"]["layers"])
 
     def bits_for(path: str) -> int:
         if isinstance(bits, int):

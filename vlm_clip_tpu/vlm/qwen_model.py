@@ -116,6 +116,10 @@ def rms_norm(p, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def swiglu_mlp(p, x: jnp.ndarray) -> jnp.ndarray:
+    if "gateup" in p:  # decode-fused layout: one wide GEMV
+        gu = linear(p["gateup"], x)
+        g, u = jnp.split(gu, 2, axis=-1)
+        return linear(p["down"], jax.nn.silu(g) * u)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x))
                   * linear(p["up"], x))
 
@@ -197,11 +201,21 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
     cache_index and the full cache views are used for attention."""
     B, T, _ = x.shape
     h = rms_norm(p["ln1"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h).reshape(B, T, cfg.num_heads, cfg.head_dim)
-    k = linear(p["attn"]["k"], h).reshape(B, T, cfg.num_kv_heads,
-                                          cfg.head_dim)
-    v = linear(p["attn"]["v"], h).reshape(B, T, cfg.num_kv_heads,
-                                          cfg.head_dim)
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    if "qkv" in p["attn"]:
+        # decode-fused layout (quantize_qwen_params(fuse_decode=True)):
+        # one GEMV instead of three — per-call overhead dominates
+        # narrow-N decode GEMVs (measured ~9-15 us each, BENCH.md r2)
+        qkv = linear(p["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, (nq, nq + nkv), axis=-1)
+    else:
+        q = linear(p["attn"]["q"], h)
+        k = linear(p["attn"]["k"], h)
+        v = linear(p["attn"]["v"], h)
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
     if cache_kv is not None:
         ck, cv = cache_kv  # [B, maxlen, kv, d]
