@@ -261,6 +261,11 @@ def test_mixed_quantization_preset(converted):
     assert layers["mlp"]["up"].bits == 4
     assert layers["mlp"]["down"].bits == 8
     assert layers["attn"]["q"].bits == 8
+    # the preset is TEXT-scoped: the vision tower (prefill-shaped
+    # matmuls, no decode-bandwidth win) must stay int8
+    vblocks = qm["vision"]["blocks"]
+    assert vblocks["mlp"]["gate"].bits == 8
+    assert vblocks["mlp"]["up"].bits == 8
     head = qm["text"]["lm_head"]
     assert head.bits == 4
     assert (head.logical_in, head.logical_out) == (

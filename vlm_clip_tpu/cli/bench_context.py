@@ -55,7 +55,8 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, text=dataclasses.replace(
             cfg.text, tie_word_embeddings=False))
     print(f"synthesizing 3B-shape params (bits={bits}) ...", flush=True)
-    text = synth_quantized_text_params(cfg.text, bits, head_bits)
+    text = synth_quantized_text_params(cfg.text, bits, head_bits,
+                                       fused=True)  # extractor layout
     vision = synth_vision_params(cfg.vision)
     if args.u8:
         vision = fold_qwen_patch_normalization(vision, cfg.vision)

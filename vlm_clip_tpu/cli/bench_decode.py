@@ -99,7 +99,7 @@ def synth_quantized_text_params(cfg, bits: int, head_bits: int = 0,
     if head_bits:
         from vlm_clip_tpu.ops.quant import quantize_weight
 
-        # quantize a random untied head once, in slabs to bound host RAM
+        # quantize a random untied head (one ~1.2 GB fp32 host array)
         w = rng.normal(size=(H, cfg.vocab_size)).astype(np.float32) * 0.02
         params["lm_head"] = quantize_weight(jnp.asarray(w), head_bits)
     return params

@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-model-name", default="vit-large-patch14")
     p.add_argument("--vlm-backend", default="stub",
                    choices=["stub", "qwen"])
+    p.add_argument("--qwen-weights", default=None,
+                   help="dir with Qwen2.5-VL safetensors + tokenizer.json "
+                        "for --vlm-backend=qwen")
+    p.add_argument("--qwen-quant-bits", default="mixed",
+                   choices=["0", "4", "8", "mixed"])
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per batched VLM decode (qwen backend: "
@@ -48,7 +53,8 @@ def main(argv=None) -> None:
     clip_params, cfg = load_backbone(args.clip_model_name, seed=args.seed)
     tokenizer = make_tokenizer(cfg)
     extractor = make_extractor(args.vlm_backend, clip_params, cfg,
-                               tokenizer)
+                               tokenizer, qwen_weights=args.qwen_weights,
+                               qwen_quant_bits=args.qwen_quant_bits)
 
     samples = scan_class_folders(Path(args.data_dir))
     texts, feats = {}, {}

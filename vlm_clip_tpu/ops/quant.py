@@ -142,11 +142,15 @@ def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
     if K2p != K // 2:  # padded rows: zero x contribution
         xe = jnp.pad(xe, ((0, 0), (0, K2p - K // 2)))
         xo = jnp.pad(xo, ((0, 0), (0, K2p - K // 2)))
-    sf = q.scale[None, :]
-    lo = ((q.qweight & 0xF).astype(jnp.int32) - 8).astype(jnp.float32) * sf
-    hi = ((q.qweight >> 4).astype(jnp.int32) - 8).astype(jnp.float32) * sf
-    y = jnp.dot(xe, lo) + jnp.dot(xo, hi)
-    return y[:, :q.logical_out]
+    # slice off the tile-pad columns BEFORE the dot (static slice, fused
+    # into the operand read) — narrow-N weights are padded up to 1024
+    # cols, and dotting the pads would stream up to 4x the bytes needed
+    N = q.logical_out
+    qw = q.qweight[:, :N]
+    sf = q.scale[None, :N]
+    lo = ((qw & 0xF).astype(jnp.int32) - 8).astype(jnp.float32) * sf
+    hi = ((qw >> 4).astype(jnp.int32) - 8).astype(jnp.float32) * sf
+    return jnp.dot(xe, lo) + jnp.dot(xo, hi)
 
 
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,

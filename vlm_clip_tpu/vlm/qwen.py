@@ -155,7 +155,8 @@ class QwenVLGenerator:
                 axis=1)
             mask = jnp.where(allowed[None, None], 0.0, -3.4028235e38)
             logits, cache = text_forward(params, embeds, position_ids,
-                                         tcfg, mask, cache, jnp.int32(0))
+                                         tcfg, mask, cache, jnp.int32(0),
+                                         last_only=True)
             return logits[:, -1], cache
 
         @functools.partial(jax.jit, static_argnames=("uw",),
@@ -252,18 +253,9 @@ class QwenVLGenerator:
                                   rope, wmask, fmask, cfg.vision,
                                   uniform_window=uw)
 
-        @functools.partial(jax.jit, static_argnames=("uw",))
-        def run_vision_batch(vp, patches, rope, wmask, fmask, uw=None):
-            return jax.vmap(
-                lambda pt: vision_forward(vp, pt.astype(self.dtype), rope,
-                                          wmask, fmask, cfg.vision,
-                                          uniform_window=uw))(patches)
-
-        self._prefill = prefill
         self._embed_prefill = embed_prefill
         self._decode_loop = decode_loop
         self._run_vision = run_vision
-        self._run_vision_batch = run_vision_batch
         # set True (with a normalization-folded patch embed) to have
         # generate()/generate_batch() ship raw uint8 patches
         self.u8_patches = False
@@ -497,13 +489,18 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         decode loop for the whole batch. Decode is weight-streaming-
         bound, so throughput scales ~linearly with batch size (B=8
         measured 3.1× the per-image rate end-to-end, BENCH.md). Rows
-        that fail fall back to per-image extraction (None-on-error)."""
+        that fail fall back to per-image extraction (None-on-error).
+        Dynamic-resolution extractors (fixed_resolution=None) cannot
+        share a batch layout, so they keep the per-image path — row i
+        always equals extract_context_from_image(images[i])."""
+        if self.fixed_resolution is None:
+            return [self.extract_context_from_image(im) for im in images]
         try:
             self._n_generated += 1
             id_lists = self.generator.generate_batch(
                 list(images), VLM_PROMPT, self.qwen_tokenizer,
                 max_new_tokens=self.max_new_tokens,
-                fixed_resolution=self.fixed_resolution or 448,
+                fixed_resolution=self.fixed_resolution,
                 sampling=self.sampling,
                 seed=self.seed + self._n_generated)
             out = []

@@ -145,11 +145,15 @@ def fold_qwen_patch_normalization(vision_params: Dict[str, Any],
 
 # Mixed-precision decode preset (measured on v5e, BENCH.md round 2):
 # int4 only where the wide-N Pallas GEMV makes it speed-NEUTRAL vs int8
-# (gate/up: N=11008), int8 where narrow N leaves int4 unpack-throughput-
-# bound (q/k/v/o/down). Combined with head_bits=4 this sits near int8
-# speed at ~2/3 of its weight memory.
-MIXED_DECODE_BITS: Dict[str, int] = {"mlp/gate": 4, "mlp/up": 4,
-                                     "mlp/gateup": 4, "default": 8}
+# (TEXT gate/up: N=11008), int8 where narrow N leaves int4 unpack-
+# throughput-bound (q/k/v/o/down). Combined with head_bits=4 this sits
+# near int8 speed at ~2/3 of its weight memory. Keys are text-scoped on
+# purpose: the vision tower runs prefill-shaped (M=1024) matmuls where
+# int4 is a pure accuracy loss with no bandwidth win.
+MIXED_DECODE_BITS: Dict[str, int] = {"text/layers/mlp/gate": 4,
+                                     "text/layers/mlp/up": 4,
+                                     "text/layers/mlp/gateup": 4,
+                                     "default": 8}
 
 
 def _fuse_decode_layers(layers: Dict[str, Any]) -> Dict[str, Any]:

@@ -239,12 +239,19 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                  position_ids: jnp.ndarray, cfg: QwenTextConfig,
                  mask: Optional[jnp.ndarray] = None,
                  cache: Optional[KVCache] = None,
-                 cache_index: Optional[jnp.ndarray] = None
+                 cache_index: Optional[jnp.ndarray] = None,
+                 last_only: bool = False
                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """embeds [B, T, H] -> (logits [B, T, V], updated cache).
 
     ``position_ids`` [3, B, T]. With a cache, ``mask`` must cover the full
     cache length [B|1, 1, T, maxlen].
+
+    ``last_only``: compute head logits for the final position only
+    (returns [B, 1, V]) — prefill needs just the next-token logits, and
+    the 152k-vocab head over all T positions is ~170 MB of wasted
+    logits (plus, for an int4 untied head, a full fp32 weight
+    materialization on the M>32 dequant route).
     """
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
                              cfg.mrope_section)
@@ -268,6 +275,8 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                                    (params["layers"], cache.k, cache.v))
         new_cache = KVCache(nk, nv, cache.length + x.shape[1])
 
+    if last_only:
+        x = x[:, -1:]
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
         head = params["embed_tokens"].astype(x.dtype).T
