@@ -289,11 +289,24 @@ def test_fused_attention_matches_xla():
     # always allow self-attention so no row is fully masked
     eye = jnp.eye(T, dtype=bool)[None, None]
     padmask = jnp.where(eye, 0.0, padmask)
-    for mask in (None, causal, padmask):
+    # [1,1,T,T] batch-broadcast mask: exactly what clip._text_mask emits
+    # when attention_mask=None — regression for the silent mis-read of
+    # out-of-range mask blocks before the broadcast-to-B fix
+    bcast = causal[None, None]
+    for mask in (None, causal, padmask, bcast):
         want = _xla_attention(q, k, v, scale, mask)
         got = fused_attention(q, k, v, scale, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-5)
+
+    # broadcast-mask backward: cotangent must keep the [1,1,T,T] shape
+    gb = jax.grad(lambda m: jnp.sum(
+        fused_attention(q, k, v, scale, m) ** 2))(bcast)
+    gx = jax.grad(lambda m: jnp.sum(
+        _xla_attention(q, k, v, scale, m) ** 2))(bcast)
+    assert gb.shape == bcast.shape
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gx),
+                               atol=2e-4, rtol=1e-4)
 
     # backward (full fine-tune path): custom VJP vs autodiff of XLA ref
     def loss_fused(q, k, v):

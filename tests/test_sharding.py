@@ -248,3 +248,27 @@ def test_qwen_vision_tp_matches_single_device():
             sp, *args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_int4_tp_sharding_disables_pallas_route():
+    """shard_params over a model>1 mesh with int4 (packed uint8) leaves
+    must flip the int4 Pallas kernel off — GSPMD cannot partition
+    pallas_call, so TP decode must take the pure-XLA int4 formulations."""
+    from vlm_clip_tpu.ops import quant as Q
+    from vlm_clip_tpu.parallel.sharding import qwen_param_rules, shard_params
+    from vlm_clip_tpu.vlm import qwen_convert as QC
+    from vlm_clip_tpu.vlm import qwen_model as QM
+
+    tc = QM.QwenTextConfig(
+        hidden_size=64, intermediate_size=2048, num_layers=2, num_heads=8,
+        num_kv_heads=4, head_dim=16, vocab_size=512,
+        mrope_section=(2, 3, 3))
+    params = {"text": QM.init_text(jax.random.PRNGKey(2), tc)}
+    qparams = QC.quantize_qwen_params(params, bits=4)["text"]
+    mesh = create_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    try:
+        Q.set_int4_pallas_enabled(True)
+        shard_params(qparams, mesh, rules=qwen_param_rules())
+        assert not Q._INT4_PALLAS_ENABLED
+    finally:
+        Q.set_int4_pallas_enabled(True)

@@ -34,6 +34,16 @@ _PIXELS = "pixels.npy"
 _MANIFEST = "manifest.json"
 
 
+def _fingerprint(path: str):
+    """[mtime_ns, size] of a source file (None if unreadable) — JSON
+    round-trips as a list, so compare against lists."""
+    try:
+        st = os.stat(path)
+        return [st.st_mtime_ns, st.st_size]
+    except OSError:
+        return None
+
+
 class PixelCache:
     """Read-side handle over a built cache (zero-copy mmap rows)."""
 
@@ -70,14 +80,20 @@ class PixelCache:
         os.makedirs(cache_dir, exist_ok=True)
         pix_path = os.path.join(cache_dir, _PIXELS)
         man_path = os.path.join(cache_dir, _MANIFEST)
+        fps = [_fingerprint(p) for p in paths]
         if not overwrite and os.path.exists(pix_path) \
                 and os.path.exists(man_path):
-            cached = cls.open(cache_dir)
-            if cached.image_size == image_size \
-                    and cached.paths == list(paths):
-                return cached
-            log.warning("pixel cache at %s does not match (size/paths); "
-                        "rebuilding", cache_dir)
+            with open(man_path, encoding="utf-8") as f:
+                man = json.load(f)
+            # (mtime, size) fingerprints catch in-place edits of source
+            # images with unchanged filenames — a stale cache would
+            # silently train on old pixels forever otherwise
+            if int(man["image_size"]) == image_size \
+                    and man["paths"] == list(paths) \
+                    and man.get("fingerprints") == fps:
+                return cls.open(cache_dir)
+            log.warning("pixel cache at %s does not match "
+                        "(size/paths/source files); rebuilding", cache_dir)
 
         n = len(paths)
         out = np.lib.format.open_memmap(
@@ -114,7 +130,7 @@ class PixelCache:
         out.flush()
         with open(man_path, "w", encoding="utf-8") as f:
             json.dump({"image_size": image_size, "paths": list(paths),
-                       "ok": ok.tolist()}, f)
+                       "ok": ok.tolist(), "fingerprints": fps}, f)
         log.info("pixel cache built at %s: %d images @ %d^2 (%.1f MB)",
                  cache_dir, n, image_size, out.nbytes / 1e6)
         return cls.open(cache_dir)

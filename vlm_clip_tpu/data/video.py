@@ -18,6 +18,7 @@ to the device for normalize + per-frame CLIP scoring in one jit.
 from __future__ import annotations
 
 from typing import Tuple
+import functools
 
 import numpy as np
 
@@ -89,6 +90,38 @@ def score_video_frames(clip_params, cfg, frames_u8: np.ndarray,
     return np.asarray(jax.nn.softmax(sims, axis=-1))
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_frame_scorer(cfg, policy, stats: str):
+    """Cached jitted scorer: a fresh @jax.jit closure per call would
+    retrace (and recompile the whole tower) on EVERY invocation — jit
+    caches are keyed by function identity. The ambient mesh is part of
+    jit's own compile key, so one cache entry serves any mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
+    from vlm_clip_tpu.models import clip as C
+    from vlm_clip_tpu.models import layers as L
+    from vlm_clip_tpu.parallel.mesh import SEQ_AXIS
+
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
+        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+
+    @jax.jit
+    def run(params, u8, emb):
+        px = normalize_batch_tpu(u8, mean, std, dtype=policy.compute_dtype)
+        px = jax.lax.with_sharding_constraint(
+            px, P(SEQ_AXIS, None, None, None))
+        feats = C.get_image_features(params, px, cfg, policy)
+        feats = L.l2_normalize(feats).astype(jnp.float32)
+        sims = 100.0 * jnp.dot(feats, emb.T,
+                               preferred_element_type=jnp.float32)
+        return jax.nn.softmax(sims, axis=-1)
+
+    return run
+
+
 def score_video_frames_sharded(clip_params, cfg, frames_u8: np.ndarray,
                                class_emb, mesh, policy=None,
                                stats: str = "clip") -> np.ndarray:
@@ -104,25 +137,10 @@ def score_video_frames_sharded(clip_params, cfg, frames_u8: np.ndarray,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vlm_clip_tpu.core.dtypes import BF16
-    from vlm_clip_tpu.data.preprocess import normalize_batch_tpu
-    from vlm_clip_tpu.models import clip as C
-    from vlm_clip_tpu.models import layers as L
     from vlm_clip_tpu.parallel.mesh import SEQ_AXIS, with_mesh
 
     policy = policy or BF16
-    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
-        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
-
-    @jax.jit
-    def run(params, u8, emb):
-        px = normalize_batch_tpu(u8, mean, std, dtype=policy.compute_dtype)
-        px = jax.lax.with_sharding_constraint(
-            px, P(SEQ_AXIS, None, None, None))
-        feats = C.get_image_features(params, px, cfg, policy)
-        feats = L.l2_normalize(feats).astype(jnp.float32)
-        sims = 100.0 * jnp.dot(feats, emb.T,
-                               preferred_element_type=jnp.float32)
-        return jax.nn.softmax(sims, axis=-1)
+    run = _sharded_frame_scorer(cfg, policy, stats)
 
     with with_mesh(mesh):
         u8 = jax.device_put(

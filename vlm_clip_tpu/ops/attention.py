@@ -109,6 +109,12 @@ def fused_attention(q, k, v, scale, mask=None):
 
 def _fused_attention_fwd_impl(q, k, v, scale, mask):
     B, h, T, d = q.shape
+    if mask is not None and mask.ndim == 4 and mask.shape[0] != B:
+        # batch-broadcast masks ([1, 1, T, T] — what the CLIP text tower
+        # emits when attention_mask is None) must be materialized to B
+        # BEFORE batch padding/tiling, or the kernel reads out-of-range
+        # mask blocks and returns silently wrong attention
+        mask = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
     nb = _BATCH_TILE
     pad = (-B) % nb
     if pad:
@@ -175,7 +181,10 @@ def _bwd(scale, res, g):
         if mask.ndim == 2:
             dmask = dm.sum(axis=(0, 1)).astype(mask.dtype)
         else:
-            dmask = dm.sum(axis=1, keepdims=True).astype(mask.dtype)
+            dmask = dm.sum(axis=1, keepdims=True)
+            if mask.shape[0] == 1:  # batch-broadcast mask cotangent
+                dmask = dmask.sum(axis=0, keepdims=True)
+            dmask = dmask.astype(mask.dtype)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dmask)
 

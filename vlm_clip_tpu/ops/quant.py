@@ -78,6 +78,18 @@ jax.tree_util.register_pytree_with_keys_class(QuantizedLinear)
 # int4 Pallas tile grid; quantize-time padding targets multiples of these.
 _I4_TM, _I4_TN, _I4_TK = 8, 1024, 2048
 
+# GSPMD has no partitioning rule for pallas_call: under tensor
+# parallelism a model-sharded int4 weight feeding the kernel would be
+# all-gathered (or fail to lower). parallel/sharding.shard_params flips
+# this off when it actually shards int4 leaves, routing int4 matmuls to
+# the pure-XLA formulations that GSPMD partitions natively.
+_INT4_PALLAS_ENABLED = True
+
+
+def set_int4_pallas_enabled(on: bool) -> None:
+    global _INT4_PALLAS_ENABLED
+    _INT4_PALLAS_ENABLED = bool(on)
+
 
 def quantize_weight(w: jnp.ndarray, bits: int = 8,
                     bias: Optional[jnp.ndarray] = None) -> QuantizedLinear:
@@ -168,7 +180,8 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
     """
     if q.bits == 4 and jax.default_backend() == "tpu" and x.ndim == 2:
         M = x.shape[0]
-        if M <= 32 and q.qweight.shape[1] >= 4 * _I4_TN:
+        if M <= 32 and q.qweight.shape[1] >= 4 * _I4_TN \
+                and _INT4_PALLAS_ENABLED:
             y = quant_matmul_pallas_int4(x, q.qweight, q.scale,
                                          out_features=q.logical_out,
                                          in_features=q.logical_in)

@@ -111,10 +111,20 @@ def maybe_initialize(cfg: Optional[DistributedConfig] = None) -> bool:
 
 
 def is_primary() -> bool:
-    """True on process 0 (and always in single-process runs)."""
-    import jax
+    """True on process 0 (and always in single-process runs).
 
-    return jax.process_index() == 0
+    Reads the SAME env contract maybe_initialize consumes instead of
+    calling ``jax.process_index()``: that call would INITIALIZE the
+    backend as a side effect — acquiring the (single-client) TPU from
+    host-only code paths like setup_logging, and defeating any later
+    ``jax.config.update("jax_platforms", ...)``. Before
+    jax.distributed.initialize has run, process_index() also returns 0
+    on every process, so the env var is the only truthful signal anyway.
+    """
+    env_id = os.environ.get(ENV_PROCESS_ID)
+    if env_id is not None:
+        return int(env_id) == 0
+    return True  # single-process (or pre-init): behave as primary
 
 
 def primary_only(fn):

@@ -14,13 +14,17 @@ TP layout (Megatron-style, collectives ride ICI):
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
+
+log = logging.getLogger(__name__)
 
 # (regex over '/'-joined path) -> PartitionSpec. First match wins.
 # Stacked per-layer params carry a leading layer axis.
@@ -120,8 +124,12 @@ def shard_params(params: Any, mesh: Mesh,
     Specs whose sharded dim does not divide the actual array dim fall back
     to replication (e.g. head counts not divisible by the model axis).
     """
+    sharded_int4 = False
+
     def _place(kp, x):
-        spec = spec_for_path(_path_str(kp), rules)
+        nonlocal sharded_int4
+        path = _path_str(kp)
+        spec = spec_for_path(path, rules)
         # validate divisibility; fall back to replicated on mismatch
         ok = True
         for dim, axis in enumerate(spec):
@@ -131,7 +139,20 @@ def shard_params(params: Any, mesh: Mesh,
             if dim >= x.ndim or x.shape[dim] % size != 0:
                 ok = False
                 break
+        if ok and path.endswith("qweight") and x.dtype == jnp.uint8 \
+                and any(a is not None for a in spec):
+            sharded_int4 = True
         sh = NamedSharding(mesh, spec if ok else P())
         return jax.device_put(x, sh)
 
-    return jax.tree_util.tree_map_with_path(_place, params)
+    out = jax.tree_util.tree_map_with_path(_place, params)
+    if sharded_int4 and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        # GSPMD cannot partition the int4 pallas_call; route int4
+        # matmuls to the pure-XLA formulations under TP
+        from vlm_clip_tpu.ops import quant as _q
+
+        _q.set_int4_pallas_enabled(False)
+        log.info("int4 weights sharded over %r: disabling the int4 "
+                 "Pallas kernel (GSPMD-partitionable XLA path instead)",
+                 MODEL_AXIS)
+    return out

@@ -71,7 +71,10 @@ def load_generation_config(weights_dir: str,
     return SamplingConfig(
         do_sample=bool(gc.get("do_sample", False)),
         temperature=float(gc.get("temperature", 1.0)),
-        top_k=int(gc.get("top_k", 0) or 0),
+        # HF GenerationConfig defaults top_k to 50 — a checkpoint that
+        # OMITS the field samples through TopKLogitsWarper(50); only an
+        # explicit 0/null disables it
+        top_k=int(gc.get("top_k", 50) or 0),
         top_p=float(gc.get("top_p", 1.0)),
         repetition_penalty=float(gc.get("repetition_penalty", 1.0)),
         extra_eos=extra,
