@@ -312,6 +312,35 @@ def test_fused_decode_layout_matches_unfused(converted):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_u8_generate_matches_fp(converted):
+    """End-to-end generate() on the u8 path (raw uint8 patches + folded
+    patch embed, the extractor's shipped default) == the fp path."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4],
+                     np.int64)
+
+    gen_fp = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    vin_fp = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32)
+    ref = gen_fp.generate_from_ids(ids, vin_fp, max_new_tokens=6)
+
+    folded = dict(params)
+    folded["vision"] = QC.fold_qwen_patch_normalization(
+        params["vision"], vcfg)
+    gen_u8 = QwenVLGenerator(folded, cfg, max_len=128, dtype=jnp.float32)
+    gen_u8.u8_patches = True
+    vin_u8 = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32,
+                                      raw_uint8=True)
+    assert vin_u8.patches.dtype == np.uint8
+    got = gen_u8.generate_from_ids(ids, vin_u8, max_new_tokens=6)
+    assert got == ref, (got, ref)
+
+
 def test_generate_batch_matches_single(converted):
     """Batched greedy decode rows == independent single-image decodes."""
     from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
