@@ -179,17 +179,23 @@ def init_kv_cache(cfg: QwenTextConfig, batch: int, max_len: int,
 
 
 def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads):
-    """q [B,T,h,d]; k,v [B,S,kv,d]; mask additive [B|1,1,T,S]."""
+    """q [B,T,h,d]; k,v [B,S,kv,d]; mask additive [B|1,1,T,S].
+
+    Grouped einsum — NO ``jnp.repeat`` of K/V to full head count: the
+    repeat materialized rep× the KV cache in HBM every decode step
+    (at B=16, maxlen=512, rep=8 that is ~2.4 GB/step across the 36
+    layers and dominated batched decode; measured in BENCH.md round 2).
+    """
     B, T, h, d = q.shape
-    rep = num_heads // num_kv_heads
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+    rep = h // num_kv_heads
+    qg = q.reshape(B, T, num_kv_heads, rep, d)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
     if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
+        # [B|1, 1, T, S] -> broadcast over (kv, rep)
+        scores = scores + mask.astype(jnp.float32)[:, :, None]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs.astype(q.dtype), v,
+    out = jnp.einsum("bkrts,bskd->btkrd", probs.astype(q.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.reshape(B, T, h * d)
 
