@@ -185,7 +185,13 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
             y = quant_matmul_pallas_int4(x, q.qweight, q.scale,
                                          out_features=q.logical_out,
                                          in_features=q.logical_in)
-        elif M <= 32:
+        elif M <= 128:
+            # mid-M (large decode batches): the fused-XLA row-pair GEMM
+            # streams the packed weight once with the unpack fused into
+            # the dot operand; the bf16-dequant route would materialize
+            # the full weight, and the Pallas kernel's 8-row M tiles
+            # would re-stream it M/8 times (B=64 measured 2.3k -> see
+            # BENCH round 2 batched-decode scaling)
             y = _int4_gemv_xla(x, q)
         else:
             w = dequantize_weight(q).astype(jnp.bfloat16)
