@@ -218,14 +218,15 @@ def test_int4_xla_gemv_matches_dequant():
                                         quantize_weight)
 
     ks = jax.random.split(jax.random.PRNGKey(12), 2)
-    K, N_, M = 130, 70, 3
+    K, N_ = 130, 70
     w = jax.random.normal(ks[0], (K, N_), jnp.float32)
     q = quantize_weight(w, bits=4)
-    x = jax.random.normal(ks[1], (M, K), jnp.float32)
-    ref = x @ dequantize_weight(q)
-    got = _int4_gemv_xla(x, q)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-5, rtol=1e-5)
+    for M in (3, 64):  # GEMV and the mid-M (large decode batch) route
+        x = jax.random.normal(ks[1], (M, K), jnp.float32)
+        ref = x @ dequantize_weight(q)
+        got = _int4_gemv_xla(x, q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_quantized_linear_stacked_keeps_logical_dims():
