@@ -72,6 +72,13 @@ def test_cache_build_and_replay(tree, tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(feats).reshape(-1),
                                    np.asarray(live_feats).reshape(-1),
                                    atol=1e-6)  # identical path, bit-equal
+        # serving key: the same entry is ALSO recorded under the decoded
+        # content hash — cli/serve.py only ever sees uploaded bytes, so
+        # a path-only cache could never hit there
+        assert cached.extract_context_from_image(img) == text
+        np.testing.assert_array_equal(
+            np.asarray(cached.encode_context_descriptions(text)),
+            np.asarray(feats))
 
     # unknown image with no fallback -> None contract
     unknown = np.full((32, 32, 3), 7, np.uint8)
@@ -99,8 +106,8 @@ def test_enhanced_dataset_with_cache(tree, tmp_path, monkeypatch):
     build_cache(["--data-dir", str(tree), "--out-dir", cache_dir,
                  "--image-size", "32"])
 
-    # the cached dataset never calls the live VLM; image-keyed lookups
-    # miss (cache is path-keyed) -> falls back when given, else zeros
+    # the cached dataset never calls the live VLM; cached images hit by
+    # content key, unseen ones fall back when a fallback is given
     cached = CachedContextExtractor(cache_dir, fallback=live)
     ds = EnhancedFolderDatasetWithContext(
         str(tree), cached, image_size=32,

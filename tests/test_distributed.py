@@ -82,3 +82,25 @@ def test_setup_logging_primary_gate(monkeypatch, tmp_path):
     path = L.setup_logging(log_dir=str(tmp_path))
     assert path == ""
     assert len(logging.getLogger().handlers) == n0  # no new handlers
+
+
+def test_tpu_pod_autodetect_decision():
+    # single host / no TPU metadata: no auto-init
+    assert not D.tpu_pod_autodetect({})
+    assert not D.tpu_pod_autodetect({"TPU_WORKER_HOSTNAMES": "h0"})
+    assert not D.tpu_pod_autodetect({"MEGASCALE_NUM_SLICES": "1"})
+    assert not D.tpu_pod_autodetect({"MEGASCALE_NUM_SLICES": "bogus"})
+    # multi-host pod or multi-slice megascale: arg-free initialize()
+    assert D.tpu_pod_autodetect({"TPU_WORKER_HOSTNAMES": "h0,h1,h2,h3"})
+    assert D.tpu_pod_autodetect({"MEGASCALE_NUM_SLICES": "2"})
+
+
+def test_is_primary_tpu_worker_id(monkeypatch):
+    monkeypatch.setenv("TPU_WORKER_ID", "1")
+    assert not D.is_primary()
+    monkeypatch.setenv("TPU_WORKER_ID", "0")
+    assert D.is_primary()
+    # the explicit JAX_PROCESS_ID contract wins over TPU metadata
+    monkeypatch.setenv("TPU_WORKER_ID", "1")
+    monkeypatch.setenv(D.ENV_PROCESS_ID, "0")
+    assert D.is_primary()

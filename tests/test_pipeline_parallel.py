@@ -24,7 +24,7 @@ def tiny_text_cfg(num_layers=4):
     return QM.QwenTextConfig(
         hidden_size=32, intermediate_size=64, num_layers=num_layers,
         num_heads=4, num_kv_heads=2, head_dim=8, vocab_size=97,
-        rope_theta=10_000.0, mrope_section=(2, 3, 3),
+        rope_theta=10_000.0, mrope_section=(2, 1, 1),
         tie_word_embeddings=True)
 
 

@@ -573,3 +573,22 @@ def test_resolution_buckets():
     _, g2 = image_to_patches(img, cfg, fixed_resolution=None,
                              resolution_buckets=buckets)
     assert g2 not in grids
+
+
+def test_generate_overflow_raises(converted):
+    """prompt + max_new_tokens beyond the KV cache max_len must raise —
+    dynamic_update_slice would otherwise clamp at the last row and
+    silently corrupt generation (VERDICT round 2 review)."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4],
+                     np.int64)
+    gen = QwenVLGenerator(params, cfg, max_len=32, dtype=jnp.float32)
+    vin = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32)
+    with pytest.raises(ValueError, match="max_len"):
+        gen.generate_from_ids(ids, vin, max_new_tokens=32)

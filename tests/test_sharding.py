@@ -251,9 +251,12 @@ def test_qwen_vision_tp_matches_single_device():
 
 
 def test_int4_tp_sharding_disables_pallas_route():
-    """shard_params over a model>1 mesh with int4 (packed uint8) leaves
-    must flip the int4 Pallas kernel off — GSPMD cannot partition
-    pallas_call, so TP decode must take the pure-XLA int4 formulations."""
+    """shard_params over a model>1 mesh must set pallas_ok=False on the
+    int4 QuantizedLinear nodes whose qweight actually got partitioned —
+    GSPMD cannot partition pallas_call, so TP decode must take the
+    pure-XLA int4 formulations. The flag is PER NODE: replicated nodes
+    (and other models in the process) keep the Pallas route, and the
+    process-global toggle is untouched."""
     from vlm_clip_tpu.ops import quant as Q
     from vlm_clip_tpu.parallel.sharding import qwen_param_rules, shard_params
     from vlm_clip_tpu.vlm import qwen_convert as QC
@@ -266,9 +269,11 @@ def test_int4_tp_sharding_disables_pallas_route():
     params = {"text": QM.init_text(jax.random.PRNGKey(2), tc)}
     qparams = QC.quantize_qwen_params(params, bits=4)["text"]
     mesh = create_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
-    try:
-        Q.set_int4_pallas_enabled(True)
-        shard_params(qparams, mesh, rules=qwen_param_rules())
-        assert not Q._INT4_PALLAS_ENABLED
-    finally:
-        Q.set_int4_pallas_enabled(True)
+    sharded = shard_params(qparams, mesh, rules=qwen_param_rules())
+    gate = sharded["layers"]["mlp"]["gate"]
+    assert isinstance(gate, Q.QuantizedLinear) and not gate.pallas_ok
+    # attn/o shards its INPUT dim; qweight is still partitioned -> off
+    assert not sharded["layers"]["attn"]["o"].pallas_ok
+    assert Q._INT4_PALLAS_ENABLED  # process-global toggle untouched
+    # an unsharded model in the same process keeps its Pallas route
+    assert qparams["layers"]["mlp"]["gate"].pallas_ok

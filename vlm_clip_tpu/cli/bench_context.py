@@ -23,7 +23,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--bits", default="mixed", choices=("4", "8", "mixed"))
+    p.add_argument("--bits", default="8h4",
+                   choices=("4", "8", "8h4", "mixed"))
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--new", type=int, default=200,
                    help="tokens to decode (reference max_new_tokens=200)")
@@ -48,8 +49,10 @@ def main(argv=None):
     from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
     from vlm_clip_tpu.vlm.qwen_process import prepare_vision_inputs
 
-    bits = args.bits if args.bits == "mixed" else int(args.bits)
-    head_bits = 4 if bits == "mixed" else 0
+    bits = args.bits if args.bits in ("mixed", "8h4") else int(args.bits)
+    head_bits = 4 if bits in ("mixed", "8h4") else 0
+    if bits == "8h4":  # int8 layers + int4 untied head (speed pick)
+        bits = 8
     cfg = qwen25vl_3b()
     if head_bits:
         cfg = dataclasses.replace(cfg, text=dataclasses.replace(

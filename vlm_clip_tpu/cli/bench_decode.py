@@ -47,7 +47,9 @@ def synth_quantized_text_params(cfg, bits: int, head_bits: int = 0,
         from vlm_clip_tpu.vlm.qwen_convert import MIXED_DECODE_BITS
 
         def role_bits(role):
-            return MIXED_DECODE_BITS.get(role, MIXED_DECODE_BITS["default"])
+            # full pytree paths, exactly as quantize_qwen_params matches
+            return MIXED_DECODE_BITS.get(f"text/layers/{role}",
+                                         MIXED_DECODE_BITS["default"])
     else:
         def role_bits(role):
             return bits

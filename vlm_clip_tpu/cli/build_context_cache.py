@@ -5,8 +5,15 @@ Qwen decode inside the dataloader, SURVEY.md §3.1): run once ahead of
 training, then train with ``--vlm-backend=cache``.
 
 Writes <out>/contexts.json (key -> description | null) and
-<out>/features.npz (key -> [P] normalized CLIP text features), keyed by
-image path hash (CachedContextExtractor.key_for).
+<out>/features.npz (key -> [P] normalized CLIP text features). Every
+entry is recorded under BOTH CachedContextExtractor keys:
+
+- the image PATH hash — the training pipeline's key (the loader knows
+  the path and skips decoding unseen entries);
+- the decoded-and-resized uint8 CONTENT hash — the serving key
+  (cli/serve.py only ever sees uploaded bytes; it resizes with the
+  same load_and_resize, so the content hash matches when --image-size
+  equals the serving model's image size).
 """
 
 from __future__ import annotations
@@ -28,8 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qwen-weights", default=None,
                    help="dir with Qwen2.5-VL safetensors + tokenizer.json "
                         "for --vlm-backend=qwen")
-    p.add_argument("--qwen-quant-bits", default="mixed",
-                   choices=["0", "4", "8", "mixed"])
+    p.add_argument("--qwen-quant-bits", default="8h4",
+                   choices=["0", "4", "8", "8h4", "mixed"],
+                   help="8h4 = int8 layers + int4 untied head (speed "
+                        "pick); mixed = int4 gate/up too (memory pick)")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch-size", type=int, default=8,
                    help="images per batched VLM decode (qwen backend: "
@@ -62,45 +71,48 @@ def main(argv=None) -> None:
     batched = hasattr(extractor, "extract_contexts_batch") \
         and args.batch_size > 1
 
-    def record(key, desc):
+    def record(keys, desc):
         nonlocal n_fail
-        texts[key] = desc
         f = extractor.encode_context_descriptions(desc)
-        if f is not None:
-            feats[key] = np.asarray(f, np.float32).reshape(-1)
-        else:
+        if f is None:
             n_fail += 1
+        for key in keys:
+            texts[key] = desc
+            if f is not None:
+                feats[key] = np.asarray(f, np.float32).reshape(-1)
 
-    pending = []  # (key, img) awaiting a batched decode
+    pending = []  # (keys, img) awaiting a batched decode
     for i, (path, _label) in enumerate(samples):
-        key = CachedContextExtractor.key_for(path)
+        pkey = CachedContextExtractor.key_for(path)
         try:
             img = load_and_resize(path, args.image_size)
         except Exception:
-            texts[key] = None
+            texts[pkey] = None
             n_fail += 1
             continue
+        # path key for training lookups + content key for serving
+        keys = (pkey, CachedContextExtractor.key_for(img))
         if batched:
-            pending.append((key, img))
+            pending.append((keys, img))
             if len(pending) == args.batch_size:
                 descs = extractor.extract_contexts_batch(
                     [im for _, im in pending])
-                for (k, _), d in zip(pending, descs):
-                    record(k, d)
+                for (ks, _), d in zip(pending, descs):
+                    record(ks, d)
                 pending = []
         else:
-            record(key, extractor.extract_context_from_image(img))
+            record(keys, extractor.extract_context_from_image(img))
         if (i + 1) % 100 == 0:
             print(f"  {i + 1}/{len(samples)} contexts built")
-    for k, im in pending:  # ragged tail: per-image path
-        record(k, extractor.extract_context_from_image(im))
+    for ks, im in pending:  # ragged tail: per-image path
+        record(ks, extractor.extract_context_from_image(im))
 
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "contexts.json"), "w") as f:
         json.dump(texts, f)
     np.savez(os.path.join(args.out_dir, "features.npz"), **feats)
-    print(f"cached {len(feats)} contexts ({n_fail} failures) "
-          f"-> {args.out_dir}")
+    print(f"cached {len(samples)} images under {len(texts)} keys "
+          f"({n_fail} failures) -> {args.out_dir}")
 
 
 if __name__ == "__main__":

@@ -26,11 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qwen-weights", default=None,
                    help="dir with Qwen2.5-VL safetensors + tokenizer.json "
                         "for --vlm-backend=qwen")
-    p.add_argument("--qwen-quant-bits", default="8",
-                   choices=["0", "4", "8", "mixed"],
+    p.add_argument("--qwen-quant-bits", default="8h4",
+                   choices=["0", "4", "8", "8h4", "mixed"],
                    help="weight-only quantization for the VLM (0=fp; "
-                        "mixed=int4 gate/up + int4 untied head, int8 "
-                        "rest — int8 speed at ~70%% of the memory)")
+                        "8h4=int8 layers + int4 untied head — the "
+                        "measured speed pick, 4.94 ms/token; mixed="
+                        "int4 gate/up + int4 untied head, int8 rest — "
+                        "the memory pick, ~2.4 GB at 6.07 ms/token)")
     p.add_argument("--bottleneck-dim", type=int, default=192)
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=0.2)
@@ -64,7 +66,7 @@ def make_extractor(backend: str, clip_params, cfg, tokenizer,
     if backend == "qwen":
         from vlm_clip_tpu.vlm.qwen import QwenVLContextExtractor
 
-        if qwen_quant_bits != "mixed":
+        if qwen_quant_bits not in ("mixed", "8h4"):
             qwen_quant_bits = int(qwen_quant_bits) or None
         return QwenVLContextExtractor(
             clip_params, cfg, tokenizer, weights_path=qwen_weights,

@@ -45,6 +45,12 @@ class QuantizedLinear:
     bias: Optional[jnp.ndarray] = None
     in_features: Optional[int] = None
     out_features: Optional[int] = None
+    # False routes this weight's int4 matmuls to the pure-XLA
+    # formulations. Set per-instance by parallel/sharding.shard_params
+    # when the weight is model-sharded (GSPMD cannot partition the
+    # pallas_call) — per-node so one sharded model never degrades other
+    # models in the same process.
+    pallas_ok: bool = True
 
     def tree_flatten_with_keys(self):
         # Named keys so partition rules (parallel/sharding.py) can match
@@ -53,13 +59,15 @@ class QuantizedLinear:
         ga = jax.tree_util.GetAttrKey
         return ((ga("qweight"), self.qweight), (ga("scale"), self.scale),
                 (ga("bias"), self.bias)), \
-            (self.bits, self.in_features, self.out_features)
+            (self.bits, self.in_features, self.out_features,
+             self.pallas_ok)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qweight, scale, bias = children
         return cls(qweight=qweight, scale=scale, bits=aux[0], bias=bias,
-                   in_features=aux[1], out_features=aux[2])
+                   in_features=aux[1], out_features=aux[2],
+                   pallas_ok=aux[3])
 
     @property
     def logical_in(self) -> int:
@@ -166,8 +174,13 @@ def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
 
 
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
-                 use_pallas: bool = False) -> jnp.ndarray:
+                 use_pallas: bool = False,
+                 out_dtype=None) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
+
+    ``out_dtype`` overrides the x.dtype output cast — the untied LM head
+    passes float32 so logits keep full accumulator precision (the tied
+    head never rounds; sampling cutoffs must match it).
 
     int4 on TPU routes by shape (all three measured, BENCH.md round 2):
     - GEMV (M <= 32), wide N: Pallas tiled kernel with in-VMEM unpack —
@@ -181,7 +194,7 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
     if q.bits == 4 and jax.default_backend() == "tpu" and x.ndim == 2:
         M = x.shape[0]
         if M <= 32 and q.qweight.shape[1] >= 4 * _I4_TN \
-                and _INT4_PALLAS_ENABLED:
+                and _INT4_PALLAS_ENABLED and q.pallas_ok:
             y = quant_matmul_pallas_int4(x, q.qweight, q.scale,
                                          out_features=q.logical_out,
                                          in_features=q.logical_in)
@@ -205,7 +218,7 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if q.bias is not None:
         y = y + q.bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype or x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,25 @@ def config_from_env(env=None) -> DistributedConfig:
         process_id=geti(ENV_PROCESS_ID))
 
 
+def tpu_pod_autodetect(env=None) -> bool:
+    """True when Cloud-TPU metadata says this is a multi-host/multi-slice
+    pod — there ``jax.distributed.initialize()`` with NO args resolves
+    the coordinator and process ids from the TPU runtime itself, which
+    is the normal launch mode (no JAX_* env vars set by the platform).
+    Pure decision logic (unit-tested with fake envs)."""
+    env = os.environ if env is None else env
+    hosts = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+             if h.strip()]
+    if len(hosts) > 1:
+        return True
+    try:
+        if int(env.get("MEGASCALE_NUM_SLICES") or 1) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
+
+
 def maybe_initialize(cfg: Optional[DistributedConfig] = None) -> bool:
     """Call ``jax.distributed.initialize`` when the env asks for it.
 
@@ -93,8 +112,21 @@ def maybe_initialize(cfg: Optional[DistributedConfig] = None) -> bool:
     global _initialized
     if _initialized:
         return True
+    explicit = cfg is not None
     cfg = cfg if cfg is not None else config_from_env()
     if not cfg.wanted:
+        # Cloud-TPU pods set no JAX_* vars: initialize() arg-free
+        # auto-detects coordinator/process ids from the TPU runtime
+        if not explicit and tpu_pod_autodetect():
+            import jax
+
+            jax.distributed.initialize()
+            _initialized = True
+            log.info("jax.distributed up (TPU pod auto-detect): "
+                     "process %d/%d, %d global devices",
+                     jax.process_index(), jax.process_count(),
+                     jax.device_count())
+            return True
         return False
     cfg.validate()
     import jax
@@ -124,6 +156,9 @@ def is_primary() -> bool:
     env_id = os.environ.get(ENV_PROCESS_ID)
     if env_id is not None:
         return int(env_id) == 0
+    worker_id = os.environ.get("TPU_WORKER_ID")  # Cloud-TPU pod launch
+    if worker_id not in (None, ""):
+        return int(worker_id) == 0
     return True  # single-process (or pre-init): behave as primary
 
 

@@ -45,8 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vlm_clip_tpu.vlm.qwen_model import (QwenTextConfig, mrope_cos_sin,
-                                         rms_norm, text_decoder_layer)
+from vlm_clip_tpu.vlm.qwen_model import (QwenTextConfig, linear,
+                                         mrope_cos_sin, rms_norm,
+                                         text_decoder_layer)
 from vlm_clip_tpu.vlm.sampling import GREEDY, SamplingConfig, sample_token
 
 PIPE_AXIS = "pipe"
@@ -148,14 +149,16 @@ class PipelineGenerator:
         eos = self.eos_token_id
 
         def head_logits(params, y):
-            """Final-norm + (tied) LM head on the last position of y."""
+            """Final-norm + LM head on the last position of y."""
             h = rms_norm(params["final_norm"], y[:, -1:], cfg.rms_norm_eps)
             if cfg.tie_word_embeddings:
                 w = params["embed_tokens"].astype(h.dtype).T
-            else:
-                w = params["lm_head"]["kernel"].astype(h.dtype)
-            return jnp.dot(h[:, 0], w,
-                           preferred_element_type=jnp.float32)
+                return jnp.dot(h[:, 0], w,
+                               preferred_element_type=jnp.float32)
+            # fp {'kernel'} or QuantizedLinear (the untied int4 head of
+            # the mixed decode preset) — same dispatch as single-chip
+            return linear(params["lm_head"], h[:, 0],
+                          out_dtype=jnp.float32)
 
         def stage_fn(params, embeds, cos, sin, pos_start, length0, key,
                      max_new, scfg):

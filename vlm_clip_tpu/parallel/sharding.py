@@ -19,7 +19,6 @@ import re
 from typing import Any, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
@@ -123,36 +122,52 @@ def shard_params(params: Any, mesh: Mesh,
 
     Specs whose sharded dim does not divide the actual array dim fall back
     to replication (e.g. head counts not divisible by the model axis).
-    """
-    sharded_int4 = False
 
-    def _place(kp, x):
-        nonlocal sharded_int4
-        path = _path_str(kp)
+    Model-sharded int4 weights get ``pallas_ok=False`` on their OWN
+    ``QuantizedLinear`` node (GSPMD cannot partition the int4
+    pallas_call; the pure-XLA formulations partition natively) — scoped
+    per weight so sharding one model never degrades the int4 kernel for
+    other models in the same process.
+    """
+    import dataclasses
+
+    from vlm_clip_tpu.ops.quant import QuantizedLinear
+
+    def _sharded_spec(path, x):
+        """(spec, actually_partitioned) after divisibility fallback."""
         spec = spec_for_path(path, rules)
-        # validate divisibility; fall back to replicated on mismatch
-        ok = True
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
             size = mesh.shape[axis] if isinstance(axis, str) else 1
             if dim >= x.ndim or x.shape[dim] % size != 0:
-                ok = False
-                break
-        if ok and path.endswith("qweight") and x.dtype == jnp.uint8 \
-                and any(a is not None for a in spec):
-            sharded_int4 = True
-        sh = NamedSharding(mesh, spec if ok else P())
-        return jax.device_put(x, sh)
+                return P(), False
+        part = any(a is not None and mesh.shape.get(a, 1) > 1
+                   for a in spec)
+        return spec, part
 
-    out = jax.tree_util.tree_map_with_path(_place, params)
-    if sharded_int4 and mesh.shape.get(MODEL_AXIS, 1) > 1:
-        # GSPMD cannot partition the int4 pallas_call; route int4
-        # matmuls to the pure-XLA formulations under TP
-        from vlm_clip_tpu.ops import quant as _q
+    def _place_arr(path, x):
+        spec, _ = _sharded_spec(path, x)
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
-        _q.set_int4_pallas_enabled(False)
-        log.info("int4 weights sharded over %r: disabling the int4 "
-                 "Pallas kernel (GSPMD-partitionable XLA path instead)",
-                 MODEL_AXIS)
-    return out
+    def _place(kp, node):
+        path = _path_str(kp)
+        if isinstance(node, QuantizedLinear):
+            _, qw_part = _sharded_spec(path + "/qweight", node.qweight)
+            placed = dataclasses.replace(
+                node,
+                qweight=_place_arr(path + "/qweight", node.qweight),
+                scale=_place_arr(path + "/scale", node.scale),
+                bias=None if node.bias is None
+                else _place_arr(path + "/bias", node.bias))
+            if node.bits == 4 and qw_part and node.pallas_ok:
+                placed = dataclasses.replace(placed, pallas_ok=False)
+                log.info("int4 weight %s sharded over %r: routing its "
+                         "matmuls to the GSPMD-partitionable XLA path",
+                         path, MODEL_AXIS)
+            return placed
+        return _place_arr(path, node)
+
+    return jax.tree_util.tree_map_with_path(
+        _place, params,
+        is_leaf=lambda n: isinstance(n, QuantizedLinear))

@@ -236,11 +236,30 @@ class QwenVLGenerator:
                 n_out = n_out + jnp.logical_not(done)
                 if scfg.needs_presence:
                     presence = presence.at[jnp.arange(B), tokens].set(True)
-                logits, cache = decode_step_inner(
-                    params, tokens, pos_start + step, cache,
-                    length0 + step)
-                key, sub = jax.random.split(key)
-                tokens = sample_token(logits, presence, sub, scfg)
+
+                # Skip the model forward when this was the last token to
+                # record (step budget spent or every row done): the old
+                # unconditional form paid one full extra decode step per
+                # generation whose logits were discarded — ~9% of decode
+                # for short (eos at ~10 tokens) generations. lax.cond
+                # stays a true conditional here (XLA only converts
+                # trivially cheap branches to selects, not a 36-layer
+                # scan).
+                def fwd(cache, key, tokens):
+                    logits, cache = decode_step_inner(
+                        params, tokens, pos_start + step, cache,
+                        length0 + step)
+                    key, sub = jax.random.split(key)
+                    return sample_token(logits, presence, sub,
+                                        scfg), cache, key
+
+                def skip(cache, key, tokens):
+                    return tokens, cache, key
+
+                need_more = (step + 1 < max_new) & \
+                    jnp.logical_not(done.all())
+                tokens, cache, key = jax.lax.cond(need_more, fwd, skip,
+                                                  cache, key, tokens)
                 return (step + 1, tokens, done, buf, n_out, cache,
                         presence, key)
 
@@ -298,6 +317,14 @@ class QwenVLGenerator:
         import jax
         import jax.numpy as jnp
 
+        if T + max_new_tokens > self.max_len:
+            # dynamic_update_slice would silently clamp past the last
+            # cache row (stale/garbage attention, wrong text, no error)
+            raise ValueError(
+                f"prompt ({T} tokens) + max_new_tokens "
+                f"({max_new_tokens}) exceeds the KV cache max_len "
+                f"({self.max_len}); raise QwenVLGenerator(max_len=...) "
+                f"or shorten the generation")
         scfg = sampling or GREEDY
         B = logits.shape[0]
         if scfg.needs_presence:
@@ -441,12 +468,16 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         # processor's normalize into the patch embed
         params["vision"] = fold_qwen_patch_normalization(
             params["vision"], self.qwen_cfg.vision)
-        if quant_bits == "mixed":
-            # int4 on wide-N GEMVs + int4 untied head, int8 elsewhere —
-            # near-int8 decode speed at ~2/3 the weight memory (BENCH.md)
+        if quant_bits in ("mixed", "8h4"):
+            # Both presets untie the head into int4 (the tied bf16
+            # embedding head streams 0.62 GB/token, the single largest
+            # decode tensor). Measured B=1 shipped-loop (BENCH.md r2):
+            # - "8h4"  (int8 layers):      4.94 ms/token, ~3.6 GB — speed
+            # - "mixed" (int4 gate/up):    6.07 ms/token, ~2.4 GB — memory
             import dataclasses as _dc
 
-            params = quantize_qwen_params(params, MIXED_DECODE_BITS,
+            layer_bits = MIXED_DECODE_BITS if quant_bits == "mixed" else 8
+            params = quantize_qwen_params(params, layer_bits,
                                           head_bits=4, fuse_decode=True)
             self.qwen_cfg = _dc.replace(
                 self.qwen_cfg, text=_dc.replace(

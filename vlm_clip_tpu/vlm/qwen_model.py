@@ -95,17 +95,20 @@ def qwen25vl_3b() -> QwenVLConfig:
 # primitives
 # ---------------------------------------------------------------------------
 
-def linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    """fp {'kernel'[,'bias']} or QuantizedLinear."""
+def linear(p, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """fp {'kernel'[,'bias']} or QuantizedLinear. ``out_dtype``
+    overrides the x.dtype output cast (the LM head passes float32 so
+    logits never round through bf16 on the way to sampling)."""
     if isinstance(p, QuantizedLinear):
         shape = x.shape
-        y = quant_matmul(x.reshape(-1, shape[-1]), p)
+        y = quant_matmul(x.reshape(-1, shape[-1]), p,
+                         out_dtype=out_dtype)
         return y.reshape(*shape[:-1], -1)
     y = jnp.dot(x, p["kernel"].astype(x.dtype),
                 preferred_element_type=jnp.float32)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype or x.dtype)
 
 
 def rms_norm(p, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -136,6 +139,11 @@ def mrope_cos_sin(position_ids: jnp.ndarray, head_dim: int, theta: float,
     temporal/height/width channel sections interleaved (HF
     apply_multimodal_rotary_pos_emb semantics)."""
     half = head_dim // 2
+    if sum(mrope_section) != half:
+        # out-of-range sections silently slice empty arrays and yield a
+        # non-rotation embedding of coincidentally correct shape
+        raise ValueError(f"mrope_section {mrope_section} must sum to "
+                         f"head_dim/2 = {half}")
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32)
                                 / half))
     freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # 3BTH/2
@@ -288,7 +296,9 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         head = params["embed_tokens"].astype(x.dtype).T
         logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     else:
-        logits = linear(params["lm_head"], x).astype(jnp.float32)
+        # fp32 out like the tied branch: a bf16 round-trip here shifts
+        # top-p cutoff membership vs the HF-parity sampling chain
+        logits = linear(params["lm_head"], x, out_dtype=jnp.float32)
     return logits.astype(jnp.float32), new_cache
 
 
