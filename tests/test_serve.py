@@ -219,3 +219,86 @@ def test_v_ckpt_missing_adapters_rejected(tmp_path):
     with pytest.raises(ValueError, match="missing"):
         build_predict_fn("tiny", v_adapter_ckpt=bad,
                          backbone=(params, cfg, tok), policy=FP32)
+
+
+def test_embed_endpoints(tmp_path):
+    """/embed and /embed_text: unit-norm projected features that match
+    the direct model computation (pipeline-M retrieval surface,
+    reference example.py:80-109)."""
+    from vlm_clip_tpu.cli.serve import Embedder, build_predict_fn
+    from vlm_clip_tpu.data.preprocess import (load_and_resize,
+                                              normalize_batch_tpu)
+    from vlm_clip_tpu.models.clip import jitted_image_features
+    from vlm_clip_tpu.models.layers import l2_normalize
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    params, cfg, tok = _backbone()
+    predict_fn, _, _ = build_predict_fn("tiny", backbone=(params, cfg, tok),
+                                        policy=FP32, max_batch=4)
+    embedder = Embedder(params, cfg, tok, policy=FP32)
+    classifier = BatchingClassifier(predict_fn, cfg.vision.image_size,
+                                    max_batch=4, window_ms=5.0)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(classifier, "tiny",
+                                       embedder=embedder))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        body = _jpeg_bytes(3)
+        status, out = _request(port, "POST", "/embed", body)
+        assert status == 200 and out["dim"] == cfg.projection_dim
+        vec = np.asarray(out["features"], np.float32)
+        np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-5)
+        # matches the direct computation on the same decode+resize path
+        img = load_and_resize(Image.open(io.BytesIO(body)),
+                              cfg.vision.image_size)
+        px = normalize_batch_tpu(jnp.asarray(img[None]))
+        ref = l2_normalize(jitted_image_features(cfg, FP32)(params, px))
+        np.testing.assert_allclose(vec, np.asarray(ref)[0], atol=1e-5)
+
+        # text: raw body and JSON body give the same features
+        status, o1 = _request(port, "POST", "/embed_text", b"a happy face")
+        status2, o2 = _request(port, "POST", "/embed_text",
+                               json.dumps({"text": "a happy face"}
+                                          ).encode())
+        assert status == 200 and status2 == 200
+        np.testing.assert_allclose(np.asarray(o1["features"]),
+                                   np.asarray(o2["features"]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(o1["features"])), 1.0, atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
+def test_embed_disabled_404(server):
+    srv, _ = server
+    status, out = _request(srv.server_address[1], "POST", "/embed",
+                           _jpeg_bytes())
+    assert status == 404 and "disabled" in out["error"]
+
+
+def test_embed_with_m_adapters(tmp_path):
+    """--m-adapter-ckpt route: the saved reference-format M adapter
+    checkpoint round-trips into the embedder and changes the features
+    (adapters applied), still unit-norm."""
+    from vlm_clip_tpu.cli.serve import Embedder
+    from vlm_clip_tpu.models.model_m import CLIPWithAdapters
+    from vlm_clip_tpu.models.layers import l2_normalize
+
+    params, cfg, tok = _backbone()
+    model = CLIPWithAdapters(params, cfg, policy=FP32,
+                             text_adapter_size=8, vision_adapter_size=8,
+                             shared_adapter_layers=1, seed=3)
+    ckpt = str(tmp_path / "m_adapters.pt")
+    model.save_adapter_weights(ckpt)
+
+    emb = Embedder(params, cfg, tok, m_adapter_ckpt=ckpt, policy=FP32)
+    assert emb.mode == "m-adapter"
+    vec = emb.embed_image_bytes(_jpeg_bytes(5))
+    np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-5)
+    plain = Embedder(params, cfg, tok, policy=FP32)
+    assert not np.allclose(vec, plain.embed_image_bytes(_jpeg_bytes(5)),
+                           atol=1e-3)

@@ -17,6 +17,10 @@ out. Three model modes (``healthz`` reports which is live):
 
 Endpoints:
 - ``POST /classify``  raw image bytes (jpeg/png) -> JSON {probs, label}
+- ``POST /embed``     (with ``--embed``) image bytes -> unit-norm
+  projected CLIP features; ``--m-adapter-ckpt`` applies the pipeline-M
+  adapters (reference retrieval demo, example.py:80-109)
+- ``POST /embed_text`` text (raw utf-8 or {"text": ...}) -> features
 - ``GET  /healthz``   liveness + model info
 
 Drive: ``python -m vlm_clip_tpu.cli.serve --port 8899 &`` then
@@ -127,7 +131,95 @@ class BatchingClassifier:
                 p.event.set()
 
 
-def make_handler(classifier: BatchingClassifier, model_name: str):
+class Embedder:
+    """Pipeline-M serving surface: projected, L2-normalized CLIP
+    features for an image or a text string, with the M sequence/
+    cross-modal adapters applied when ``--m-adapter-ckpt`` is given.
+
+    Behavior contract: the reference's retrieval demo
+    (example.py:80-109, encode_text/encode_image → cosine similarity) —
+    features from both endpoints are unit-norm so a dot product IS the
+    retrieval score.
+    """
+
+    def __init__(self, clip_params, cfg, tokenizer, m_adapter_ckpt=None,
+                 policy=None):
+        import threading as _t
+
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from vlm_clip_tpu.models import clip as C
+        from vlm_clip_tpu.models.layers import l2_normalize
+
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self._lock = _t.Lock()  # one compiled shape, serialized compute
+        kw = {} if policy is None else {"policy": policy}
+        if m_adapter_ckpt:
+            from vlm_clip_tpu.models.model_m import CLIPWithAdapters
+
+            model = CLIPWithAdapters(clip_params, cfg, **kw)
+            model.load_adapter_weights(m_adapter_ckpt)
+            self._image = model.get_image_features
+            self._text = model.get_text_features
+            self.mode = "m-adapter"
+        else:
+            from vlm_clip_tpu.core.dtypes import BF16
+
+            pol = policy or BF16
+            img_fn = C.jitted_image_features(cfg, pol)
+            txt_fn = C.jitted_text_features(cfg, pol)
+            self._image = lambda px: img_fn(clip_params, px)
+            self._text = lambda ids, mask: txt_fn(clip_params, ids, mask)
+            self.mode = "clip"
+        self._norm = lambda x: np.asarray(
+            l2_normalize(x).astype(jnp.float32))
+        # warm up both compiled shapes before taking traffic
+        self.embed_image_bytes(_png_1x1())
+        self.embed_text("warmup")
+
+    def embed_image_bytes(self, data: bytes):
+        import io as _io
+
+        from PIL import Image
+
+        import jax.numpy as jnp
+
+        from vlm_clip_tpu.data.preprocess import (load_and_resize,
+                                                  normalize_batch_tpu)
+
+        img = load_and_resize(Image.open(_io.BytesIO(data)),
+                              self.cfg.vision.image_size)
+        px = normalize_batch_tpu(jnp.asarray(img[None]))
+        with self._lock:
+            feats = self._image(px)
+        return self._norm(feats)[0]
+
+    def embed_text(self, text: str):
+        import jax.numpy as jnp
+
+        ids, mask = self.tokenizer([text])
+        with self._lock:
+            feats = self._text(jnp.asarray(ids), jnp.asarray(mask))
+        return self._norm(feats)[0]
+
+
+def _png_1x1() -> bytes:
+    """Tiny in-memory PNG for the Embedder warmup compile."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def make_handler(classifier: BatchingClassifier, model_name: str,
+                 embedder: Optional[Embedder] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -151,8 +243,13 @@ def make_handler(classifier: BatchingClassifier, model_name: str):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/classify":
+            known = ("/classify", "/embed", "/embed_text")
+            if self.path not in known:
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.path in ("/embed", "/embed_text") and embedder is None:
+                self._json(404, {"error": "embedding endpoints disabled "
+                                          "(serve --embed to enable)"})
                 return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0 or length > 32 << 20:
@@ -160,11 +257,31 @@ def make_handler(classifier: BatchingClassifier, model_name: str):
                 return
             data = self.rfile.read(length)
             try:
-                self._json(200, classifier.submit(data))
+                if self.path == "/classify":
+                    self._json(200, classifier.submit(data))
+                elif self.path == "/embed":
+                    vec = embedder.embed_image_bytes(data)
+                    self._json(200, {"features": vec.tolist(),
+                                     "dim": len(vec),
+                                     "model": embedder.mode})
+                else:  # /embed_text: raw utf-8 or {"text": ...}
+                    text = data.decode("utf-8", errors="replace")
+                    try:
+                        obj = json.loads(text)
+                        if isinstance(obj, dict) and "text" in obj:
+                            text = str(obj["text"])
+                    except json.JSONDecodeError:
+                        pass
+                    vec = embedder.embed_text(text)
+                    self._json(200, {"features": vec.tolist(),
+                                     "dim": len(vec),
+                                     "model": embedder.mode})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 self._json(503, {"error": str(e)})
+            except Exception as e:  # bad image bytes etc.
+                self._json(400, {"error": f"bad request: {e}"})
 
     return Handler
 
@@ -184,19 +301,39 @@ def main(argv=None) -> None:
                         "(cli/build_context_cache.py output)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=10.0)
+    p.add_argument("--embed", action="store_true",
+                   help="also serve /embed (image) and /embed_text — "
+                        "unit-norm projected CLIP features (pipeline-M "
+                        "retrieval surface, reference example.py:80-109)")
+    p.add_argument("--m-adapter-ckpt", default=None,
+                   help="M adapter checkpoint for the /embed endpoints "
+                        "(reference adapter format; implies --embed)")
     args = p.parse_args(argv)
+
+    from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
+
+    clip_params, cfg = load_backbone(args.clip_model_name)
+    tokenizer = make_tokenizer(cfg)
+    backbone = (clip_params, cfg, tokenizer)
 
     predict_fn, mode, cfg = build_predict_fn(
         args.clip_model_name, adapter_ckpt=args.adapter_ckpt,
         v_adapter_ckpt=args.v_adapter_ckpt,
         context_cache=args.context_cache,
-        max_batch=args.max_batch)
+        max_batch=args.max_batch, backbone=backbone)
+
+    embedder = None
+    if args.embed or args.m_adapter_ckpt:
+        embedder = Embedder(clip_params, cfg, tokenizer,
+                            m_adapter_ckpt=args.m_adapter_ckpt)
+        mode += f"+embed[{embedder.mode}]"
 
     classifier = BatchingClassifier(predict_fn, cfg.vision.image_size,
                                     args.max_batch, args.batch_window_ms)
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(classifier, f"{cfg.name} [{mode}]"))
+        make_handler(classifier, f"{cfg.name} [{mode}]",
+                     embedder=embedder))
     print(f"serving {cfg.name} [{mode}] on "
           f"http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, "
