@@ -142,3 +142,33 @@ def test_pipeline_rejects_bad_shapes(setup):
     with pytest.raises(NotImplementedError):
         gen.generate_text(np.zeros((4, 1, 4), np.int32), max_new_tokens=2,
                           sampling=SamplingConfig(repetition_penalty=1.2))
+
+
+def test_pipelined_quantized_head_matches_oracle():
+    """Quantized stage layers + untied int4 lm head (the mixed/8h4
+    decode presets) through the 4-stage pipeline: head_logits must
+    dispatch the QuantizedLinear head (crashed on ['kernel'] before)
+    and reproduce the single-device quantized rollout."""
+    import dataclasses
+
+    from vlm_clip_tpu.vlm import qwen_convert as QC
+
+    cfg = tiny_text_cfg()
+    params = QM.init_text(jax.random.PRNGKey(3), cfg)
+    qtext = QC.quantize_qwen_params({"text": params}, 8,
+                                    head_bits=4)["text"]
+    qcfg = dataclasses.replace(cfg, tie_word_embeddings=False)
+
+    rng = np.random.default_rng(11)
+    M, mb, T, max_new = 4, 1, 6, 8
+    ids = rng.integers(8, cfg.vocab_size, size=(M, mb, T)).astype(np.int32)
+
+    mesh = create_pipe_mesh(4)
+    gen = PipelineGenerator.from_params(qtext, qcfg, mesh, EOS,
+                                        max_len=64, dtype=jnp.float32)
+    got = gen.generate_text(ids, max_new_tokens=max_new)
+    want = [greedy_oracle(qtext, qcfg, ids[m, 0], max_new, EOS)
+            for m in range(M)]
+    assert got == want, (got, want)
+    flat = [t for row in got for t in row]
+    assert len(set(flat)) > 1, "degenerate rollout cannot catch bugs"
