@@ -199,10 +199,17 @@ class PipelineGenerator:
                 cv_m = jax.lax.dynamic_index_in_dim(cv, m, 1, False)
                 y, (nk, nv) = local_scan(act_in, cos[m], sin[m], pmask,
                                          ck_m, cv_m, jnp.int32(0))
-                nk = jnp.where(valid, nk, ck_m)
-                nv = jnp.where(valid, nv, cv_m)
-                ck = jax.lax.dynamic_update_index_in_dim(ck, nk, m, 1)
-                cv = jax.lax.dynamic_update_index_in_dim(cv, nv, m, 1)
+                # nk/nv are the current tokens' rows [L/S, mb, T, kv, d]
+                # (text_decoder_layer's rows-only cache contract); gate
+                # invalid bubble ticks to rewrite the existing rows.
+                nk = jnp.where(valid, nk, ck_m[:, :, :T])
+                nv = jnp.where(valid, nv, cv_m[:, :, :T])
+                ck_m = jax.lax.dynamic_update_slice(ck_m, nk,
+                                                    (0, 0, 0, 0, 0))
+                cv_m = jax.lax.dynamic_update_slice(cv_m, nv,
+                                                    (0, 0, 0, 0, 0))
+                ck = jax.lax.dynamic_update_index_in_dim(ck, ck_m, m, 1)
+                cv = jax.lax.dynamic_update_index_in_dim(cv, cv_m, m, 1)
                 lg = head_logits(params, y)  # [mb, V] fp32
                 upd = (stage == S - 1) & valid
                 old = jax.lax.dynamic_index_in_dim(lastlog, m, 0, False)
@@ -259,8 +266,15 @@ class PipelineGenerator:
                 cv_m = jax.lax.dynamic_index_in_dim(cv, m, 1, False)
                 y, (nk, nv) = local_scan(act_in, dcos, dsin, dmask,
                                          ck_m, cv_m, idx)
-                ck = jax.lax.dynamic_update_index_in_dim(ck, nk, m, 1)
-                cv = jax.lax.dynamic_update_index_in_dim(cv, nv, m, 1)
+                # rows-only contract: write the single decode row at idx
+                # (invalid ticks route to the max_len-1 scratch row via
+                # idx above, same as the old full-cache behavior)
+                ck_m = jax.lax.dynamic_update_slice(ck_m, nk,
+                                                    (0, 0, idx, 0, 0))
+                cv_m = jax.lax.dynamic_update_slice(cv_m, nv,
+                                                    (0, 0, idx, 0, 0))
+                ck = jax.lax.dynamic_update_index_in_dim(ck, ck_m, m, 1)
+                cv = jax.lax.dynamic_update_index_in_dim(cv, cv_m, m, 1)
                 lg = head_logits(params, y)  # [mb, V]
                 # last-stage bookkeeping for (m, k) — same semantics as
                 # the single-device loop body (vlm/qwen.py decode_loop)

@@ -208,11 +208,67 @@ def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads):
     return out.reshape(B, T, h * d)
 
 
+def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
+                          cache_index, num_heads, num_kv_heads):
+    """Cached attention WITHOUT writing the current rows first.
+
+    q [B,T,h,d]; k_old/v_old [B,S,kv,d] are the cache rows as of BEFORE
+    this call (rows >= cache_index stale); k_cur/v_cur [B,T,kv,d] are
+    the current tokens' keys/values. ``mask`` is the caller's full-cache
+    additive mask [B|1,1,T,S] whose columns [cache_index, cache_index+T)
+    address the current tokens.
+
+    Scores are computed over S + T columns: the S cache columns with the
+    current-token positions re-masked out (they hold stale rows), plus T
+    fresh columns for the current tokens using the corresponding slice
+    of the caller's mask. The attended set and values are exactly those
+    of write-then-attend, so the result is bit-identical up to fp
+    reduction order — but the full [L,B,S,kv,d] cache never has to be
+    rebuilt per step (the scan-ys rebuild cost ~2x the cache's HBM
+    traffic every decode step; BENCH.md round 2 "decode step memory
+    accounting").
+    """
+    B, T, h, d = q.shape
+    S = k_old.shape[1]
+    rep = h // num_kv_heads
+    qg = q.reshape(B, T, num_kv_heads, rep, d)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    neg = jnp.float32(-3.4028235e38)
+    mask_past = jnp.where(cols[None, None, None] >= cache_index,
+                          neg, mask.astype(jnp.float32))
+    mask_self = jax.lax.dynamic_slice_in_dim(
+        mask.astype(jnp.float32), cache_index, T, axis=3)
+    s_past = jnp.einsum("btkrd,bskd->bkrts", qg, k_old,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    s_past = s_past + mask_past[:, :, None]
+    s_self = jnp.einsum("btkrd,bskd->bkrts", qg, k_cur,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    s_self = s_self + mask_self[:, :, None]
+    s = jnp.concatenate([s_past, s_self], axis=-1)
+    probs = jax.nn.softmax(s, axis=-1)
+    p_past = probs[..., :S].astype(q.dtype)
+    p_self = probs[..., S:].astype(q.dtype)
+    out = jnp.einsum("bkrts,bskd->btkrd", p_past, v_old,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bkrts,bskd->btkrd", p_self, v_cur,
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(B, T, h * d)
+
+
 def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
                        cache_kv: Optional[Tuple] = None,
                        cache_index: Optional[jnp.ndarray] = None):
-    """Returns (x, (k_full, v_full)). With cache, k/v are written at
-    cache_index and the full cache views are used for attention."""
+    """Returns (x, (k_rows, v_rows)).
+
+    With a cache, the returned rows are the CURRENT tokens' [B,T,kv,d]
+    keys/values (cast to the cache dtype) — the caller writes them at
+    ``cache_index`` (text_forward does one dynamic_update_slice on the
+    stacked cache AFTER the layer scan, which XLA performs in place on
+    the donated/carried buffer). Attention attends to the old cache rows
+    plus the fresh rows via _gqa_attention_cached; the layer itself
+    never rebuilds the full cache (the old write-then-attend contract
+    made the scan stack a fresh full-size cache every decode step —
+    ~2x the cache's HBM traffic, measured in BENCH.md round 2)."""
     B, T, _ = x.shape
     h = rms_norm(p["ln1"], x, cfg.rms_norm_eps)
     nq = cfg.num_heads * cfg.head_dim
@@ -232,18 +288,21 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, maxlen, kv, d]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_index, 0, 0))
-        k_att, v_att = ck, cv
-        new_cache = (ck, cv)
+        ck, cv = cache_kv  # [B, maxlen, kv, d] — rows >= cache_index stale
+        # cache-dtype round trip BEFORE attention: identical numerics to
+        # the old write-then-read path (the cache may be bf16 while q is
+        # fp32 in tests)
+        k_rows = k.astype(ck.dtype)
+        v_rows = v.astype(cv.dtype)
+        attn = _gqa_attention_cached(
+            q, ck.astype(q.dtype), cv.astype(q.dtype),
+            k_rows.astype(q.dtype), v_rows.astype(q.dtype), mask,
+            cache_index, cfg.num_heads, cfg.num_kv_heads)
+        new_cache = (k_rows, v_rows)
     else:
-        k_att, v_att = k, v
         new_cache = (k, v)
-    attn = _gqa_attention(q, k_att.astype(q.dtype), v_att.astype(q.dtype),
-                          mask, cfg.num_heads, cfg.num_kv_heads)
+        attn = _gqa_attention(q, k, v, mask, cfg.num_heads,
+                              cfg.num_kv_heads)
     x = x + linear(p["attn"]["o"], attn)
     x = x + swiglu_mlp(p["mlp"], rms_norm(p["ln2"], x, cfg.rms_norm_eps))
     return x, new_cache
@@ -285,9 +344,19 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                                              (ck, cv), cache_index)
             return h, (nk, nv)
 
+        # ys are just the current rows [L, B, T, kv, d]; ONE row write
+        # on the full stacked cache afterwards. Inside the jitted decode
+        # loop the cache is a donated while-carry, so XLA performs the
+        # dynamic_update_slice in place — the old contract (each layer
+        # returns its full updated cache, scan stacks them) allocated
+        # and wrote a fresh full-size cache every step.
         x, (nk, nv) = jax.lax.scan(body, x,
                                    (params["layers"], cache.k, cache.v))
-        new_cache = KVCache(nk, nv, cache.length + x.shape[1])
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, nk, (0, 0, cache_index, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, nv, (0, 0, cache_index, 0, 0))
+        new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
 
     if last_only:
         x = x[:, -1:]
