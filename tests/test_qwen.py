@@ -417,6 +417,38 @@ def test_cached_decode_matches_uncached_rollout():
     assert len(set(ours)) > 1, "degenerate rollout cannot catch cache bugs"
 
 
+def test_split_cache_route_matches_dense(monkeypatch):
+    """The two cached-attention routes in text_decoder_layer — dense
+    write-then-attend (small caches) and split old+fresh columns (big
+    caches, the batched-decode fast path) — must produce identical
+    generations. Tiny test caches take the dense route by default, so
+    force the split route via the size threshold and compare rollouts."""
+    import jax
+
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg = tiny_cfgs()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    params = {"text": QM.init_text(k1, cfg.text),
+              "vision": QM.init_vision(k2, cfg.vision)}
+    vcfg = cfg.vision
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    rng = np.random.default_rng(3)
+    patches = rng.normal(size=(64, in_dim)).astype(np.float32)
+    vin = QP.vision_inputs_from_patches(patches, (1, 8, 8), vcfg)
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * 16 + [3, 4, 5],
+                     np.int64)
+
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    dense = gen.generate_from_ids(ids, vin, max_new_tokens=8)
+
+    monkeypatch.setattr(QM, "_DENSE_CACHE_ROUTE_MAX_BYTES", 0)
+    gen2 = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    split = gen2.generate_from_ids(ids, vin, max_new_tokens=8)
+    assert split == dense, (split, dense)
+    assert len(set(dense)) > 1
+
+
 def test_warp_logits_matches_hf_processors():
     """vlm/sampling.py vs the transformers logits-processor chain, in HF
     order: repetition penalty -> temperature -> top-k -> top-p."""

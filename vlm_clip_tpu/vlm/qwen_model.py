@@ -208,6 +208,15 @@ def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads):
     return out.reshape(B, T, h * d)
 
 
+# Below this per-layer cache size (bytes of ONE of k/v), decode uses the
+# dense write-then-attend route: the slice copy it forces costs ~bytes*4
+# of HBM traffic (r+w, both arrays) — under ~13 us at 2 MB/600 GB/s —
+# while the split-column route's extra per-layer small ops cost ~8 us
+# regardless of size (B=1 measured 4.94 vs 5.22 ms/token). Above it the
+# copy dominates (B=64/S=512 decode was 13.6 ms/step vs 8.3 split).
+_DENSE_CACHE_ROUTE_MAX_BYTES = 2 * 1024 * 1024
+
+
 def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
                           cache_index, num_heads, num_kv_heads):
     """Cached attention WITHOUT writing the current rows first.
@@ -294,10 +303,24 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
         # fp32 in tests)
         k_rows = k.astype(ck.dtype)
         v_rows = v.astype(cv.dtype)
-        attn = _gqa_attention_cached(
-            q, ck.astype(q.dtype), cv.astype(q.dtype),
-            k_rows.astype(q.dtype), v_rows.astype(q.dtype), mask,
-            cache_index, cfg.num_heads, cfg.num_kv_heads)
+        if ck.size * ck.dtype.itemsize <= _DENSE_CACHE_ROUTE_MAX_BYTES:
+            # Tiny cache (B=1/small-B serving): write-then-attend. The
+            # per-layer slice copy this forces is well under the ~8 us
+            # of extra per-layer small ops (second einsum, concat,
+            # mask slice) the split route costs — measured: B=1 8h4
+            # decode 4.94 ms/token dense vs 5.22 split.
+            ck2 = jax.lax.dynamic_update_slice(ck, k_rows,
+                                               (0, cache_index, 0, 0))
+            cv2 = jax.lax.dynamic_update_slice(cv, v_rows,
+                                               (0, cache_index, 0, 0))
+            attn = _gqa_attention(q, ck2.astype(q.dtype),
+                                  cv2.astype(q.dtype), mask,
+                                  cfg.num_heads, cfg.num_kv_heads)
+        else:
+            attn = _gqa_attention_cached(
+                q, ck.astype(q.dtype), cv.astype(q.dtype),
+                k_rows.astype(q.dtype), v_rows.astype(q.dtype), mask,
+                cache_index, cfg.num_heads, cfg.num_kv_heads)
         new_cache = (k_rows, v_rows)
     else:
         new_cache = (k, v)
