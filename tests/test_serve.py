@@ -302,3 +302,13 @@ def test_embed_with_m_adapters(tmp_path):
     plain = Embedder(params, cfg, tok, policy=FP32)
     assert not np.allclose(vec, plain.embed_image_bytes(_jpeg_bytes(5)),
                            atol=1e-3)
+
+
+def test_serve_refuses_degraded_by_default(tmp_path, monkeypatch):
+    """serve must NOT come up with random-init weights unless
+    --allow-random-weights is passed (VERDICT r2 weak #2)."""
+    from vlm_clip_tpu.cli import serve as S
+
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hub"))
+    with pytest.raises(RuntimeError, match="random"):
+        S.main(["--port", "0", "--hf-checkpoint", str(tmp_path)])

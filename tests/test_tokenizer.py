@@ -164,6 +164,80 @@ def test_tokenizer_asset_install_and_probe(tmp_path, monkeypatch):
     assert tok2.encode("hello") == [vocab["hello</w>"]]
 
 
+def test_make_tokenizer_auto_from_checkpoint_dir(tmp_path, monkeypatch):
+    """A checkpoint dir with vocab.json/merges.txt yields CLIPBPETokenizer
+    automatically — real-weight runs are token-exact with zero extra
+    steps (VERDICT r2 #1; reference dataset.py:152-159)."""
+    from vlm_clip_tpu.cli import common
+    from vlm_clip_tpu.data import tokenizer as T
+
+    vj, mt, vocab = _write_clip_vocab_files(tmp_path)
+    cfg = tiny_text_cfg()
+    # simulate: load_backbone just loaded real weights from this dir
+    monkeypatch.setitem(common._last_load, "checkpoint_dir", str(tmp_path))
+    monkeypatch.setitem(common._last_load, "real_weights", True)
+    tok = common.make_tokenizer(cfg)
+    assert isinstance(tok, T.CLIPBPETokenizer)
+    assert tok.encode("hello") == [vocab["hello</w>"]]
+    # explicit checkpoint_dir arg works without a prior load_backbone
+    monkeypatch.setitem(common._last_load, "checkpoint_dir", None)
+    tok2 = common.make_tokenizer(cfg, checkpoint_dir=str(tmp_path))
+    assert isinstance(tok2, T.CLIPBPETokenizer)
+
+
+def tiny_text_cfg():
+    from helpers import tiny_clip_config
+
+    return tiny_clip_config()
+
+
+def _isolate_vocab_probes(tmp_path, monkeypatch):
+    """Point every get_tokenizer probe at empty dirs."""
+    from vlm_clip_tpu.data import tokenizer as T
+
+    monkeypatch.setattr(T, "ASSET_DIR", str(tmp_path / "no_assets"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hub"))
+
+
+def test_make_tokenizer_refuses_real_weights_with_hash(tmp_path,
+                                                       monkeypatch):
+    """Real weights + no vocab anywhere -> RuntimeError, not a warning
+    (a real-weights run must not silently pair with hash tokens)."""
+    import pytest as _pytest
+
+    from vlm_clip_tpu.cli import common
+    from vlm_clip_tpu.data import tokenizer as T
+
+    _isolate_vocab_probes(tmp_path, monkeypatch)
+    cfg = tiny_text_cfg()
+    monkeypatch.setitem(common._last_load, "checkpoint_dir", None)
+    monkeypatch.setitem(common._last_load, "real_weights", True)
+    with _pytest.raises(RuntimeError, match="hash"):
+        common.make_tokenizer(cfg)
+    # explicit opt-out for hermetic drives
+    tok = common.make_tokenizer(cfg, require_real=False)
+    assert isinstance(tok, T.HashTokenizer)
+    # random-init runs keep the hermetic fallback (auto mode)
+    monkeypatch.setitem(common._last_load, "real_weights", False)
+    tok2 = common.make_tokenizer(cfg)
+    assert isinstance(tok2, T.HashTokenizer)
+
+
+def test_load_backbone_require_real_refuses(tmp_path, monkeypatch):
+    """require_real=True -> RuntimeError instead of random-init fallback
+    (long-lived endpoints must not come up degraded)."""
+    import pytest as _pytest
+
+    from vlm_clip_tpu.cli import common
+
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hub"))
+    with _pytest.raises(RuntimeError, match="random"):
+        common.load_backbone("vit-base-patch32",
+                             hf_checkpoint=str(tmp_path),
+                             require_real=True)
+    assert not common.last_backbone_was_real()
+
+
 class _caplog_warning:
     """Capture WARNING records from the vlm_clip_tpu logger."""
 

@@ -67,7 +67,10 @@ def test_validate_parity_tiny_fixture(capsys):
     rc = main(["--tiny-fixture"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert out.count("PASS") == 3 and "FAIL" not in out
+    # four legs: 3 CLIP diffs + 1 Qwen diff + the two eval legs
+    assert out.count("PASS") == 4 and "FAIL" not in out
+    assert "rafdb-zeroshot(tiny-fixture)" in out
+    assert "emotic-mAP(tiny-fixture)" in out and '"mAP"' in out
 
 
 def test_validate_parity_append(tmp_path, capsys):

@@ -308,12 +308,26 @@ def main(argv=None) -> None:
     p.add_argument("--m-adapter-ckpt", default=None,
                    help="M adapter checkpoint for the /embed endpoints "
                         "(reference adapter format; implies --embed)")
+    p.add_argument("--hf-checkpoint", default=None,
+                   help="local HF CLIP checkpoint dir (weights + vocab)")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="come up with random-init weights when no HF "
+                        "checkpoint loads (hermetic drives only — a "
+                        "long-lived endpoint must not serve garbage)")
+    p.add_argument("--allow-hash-tokenizer", action="store_true",
+                   help="allow the non-CLIP hash tokenizer fallback "
+                        "(hermetic drives only)")
     args = p.parse_args(argv)
 
     from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
 
-    clip_params, cfg = load_backbone(args.clip_model_name)
-    tokenizer = make_tokenizer(cfg)
+    clip_params, cfg = load_backbone(
+        args.clip_model_name, hf_checkpoint=args.hf_checkpoint,
+        require_real=not args.allow_random_weights)
+    # auto mode (None): raise exactly when REAL weights would pair with
+    # the hash tokenizer; random-init drives keep the hermetic fallback
+    tokenizer = make_tokenizer(
+        cfg, require_real=False if args.allow_hash_tokenizer else None)
     backbone = (clip_params, cfg, tokenizer)
 
     predict_fn, mode, cfg = build_predict_fn(
