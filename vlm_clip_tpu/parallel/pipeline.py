@@ -15,10 +15,13 @@ high-bandwidth ICI all-to-all within a slice; PP only needs a
 point-to-point ring, so it is the axis that crosses slices (DCN) and the
 natural fit for decoder variants that outgrow one slice's HBM (Qwen2.5-VL
 ships 3B/7B/72B; 72B int8 is ~72 GB — 5+ v5e chips of weights before
-caches). Composability: the mesh here is 1-D ``('pipe',)``; stage-local
-layer compute is ordinary ``text_decoder_layer``, so TP rules
-(parallel/sharding.py) can shard *within* a stage on a 2-D
-``('pipe','model')`` mesh without touching this file.
+caches). Composability: the shard_map is manual over ``pipe`` ONLY
+(``axis_names``); stage-local layer compute is ordinary
+``text_decoder_layer``, so on a 2-D ``('pipe','model')`` mesh the TP
+rules (parallel/sharding.py, via ``from_params(tp_rules=...)``) shard
+within each stage and GSPMD inserts the per-layer collectives — proven
+equivalent to single-device on the 4x2 CPU mesh
+(tests/test_pipeline_parallel.py::test_pp_tp_composed_matches_oracle).
 
 Decode uses token-ring pipelining: with ``M == S`` microbatches, the token
 sampled at the last stage at tick ``t`` is ppermuted to stage 0, which
@@ -55,12 +58,21 @@ PIPE_AXIS = "pipe"
 _NEG = -3.4028235e38
 
 
-def create_pipe_mesh(n_stages: int, devices=None) -> Mesh:
-    """A 1-D ``('pipe',)`` mesh over the first ``n_stages`` devices."""
+def create_pipe_mesh(n_stages: int, devices=None, model: int = 1) -> Mesh:
+    """A ``('pipe',)`` mesh over the first ``n_stages`` devices, or a 2-D
+    ``('pipe','model')`` mesh (``n_stages x model`` devices) when
+    ``model > 1`` — tensor parallelism then shards WITHIN each stage
+    (pass ``tp_rules`` to :meth:`PipelineGenerator.from_params`)."""
     devs = list(devices if devices is not None else jax.devices())
-    if len(devs) < n_stages:
-        raise ValueError(f"need {n_stages} devices, have {len(devs)}")
-    return Mesh(np.asarray(devs[:n_stages]), (PIPE_AXIS,))
+    need = n_stages * model
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    if model == 1:
+        return Mesh(np.asarray(devs[:n_stages]), (PIPE_AXIS,))
+    from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
+
+    return Mesh(np.asarray(devs[:need]).reshape(n_stages, model),
+                (PIPE_AXIS, MODEL_AXIS))
 
 
 def split_stages(text_params: Dict[str, Any], n_stages: int
@@ -82,14 +94,66 @@ def split_stages(text_params: Dict[str, Any], n_stages: int
     return out
 
 
-def shard_staged(staged_params: Dict[str, Any], mesh: Mesh
-                 ) -> Dict[str, Any]:
-    """Place staged layers with axis 0 over ``pipe``; replicate the rest."""
-    stage_sh = NamedSharding(mesh, P(PIPE_AXIS))
+def shard_staged(staged_params: Dict[str, Any], mesh: Mesh,
+                 tp_rules=None) -> Dict[str, Any]:
+    """Place staged layers with axis 0 over ``pipe``; replicate the rest.
+
+    With a 2-D ``('pipe','model')`` mesh and ``tp_rules`` (e.g.
+    ``parallel.sharding.qwen_param_rules()``), each stage's layer slab is
+    ADDITIONALLY tensor-parallel over ``model``: the rule spec for the
+    stacked ``[L, ...]`` layout (leading ``None`` = layer axis) gets the
+    stage axis prepended, so ``[S, L/S, ...]`` shards as
+    ``P('pipe', None, <tp dims>)``. Divisibility fallback and the int4
+    ``pallas_ok`` demotion mirror ``parallel.sharding.shard_params``.
+    """
+    import dataclasses
+
+    from vlm_clip_tpu.ops.quant import QuantizedLinear
+    from vlm_clip_tpu.parallel.sharding import _path_str, spec_for_path
+
     repl = NamedSharding(mesh, P())
     out = dict(staged_params)
-    out["layers"] = jax.tree.map(
-        lambda a: jax.device_put(a, stage_sh), staged_params["layers"])
+    tp = tp_rules is not None and mesh.shape.get("model", 1) > 1
+
+    def _staged_spec(path: str, a) -> Tuple[P, bool]:
+        """(spec with 'pipe' prepended, tp_partitioned) + divis. check."""
+        if not tp:
+            return P(PIPE_AXIS), False
+        spec = tuple(spec_for_path(path, tp_rules))
+        dims = (PIPE_AXIS,) + spec
+        dims = dims[:a.ndim] + (None,) * max(0, a.ndim - len(dims))
+        for dim, axis in enumerate(dims):
+            if axis is None or axis == PIPE_AXIS:
+                continue
+            if a.shape[dim] % mesh.shape[axis]:
+                return P(PIPE_AXIS), False
+        part = any(ax not in (None, PIPE_AXIS) for ax in dims)
+        return P(*dims), part
+
+    def _place(kp, node):
+        path = "layers/" + _path_str(kp)
+        if isinstance(node, QuantizedLinear):
+            qw_spec, qw_part = _staged_spec(path + "/qweight", node.qweight)
+            sc_spec, _ = _staged_spec(path + "/scale", node.scale)
+            placed = dataclasses.replace(
+                node,
+                qweight=jax.device_put(node.qweight,
+                                       NamedSharding(mesh, qw_spec)),
+                scale=jax.device_put(node.scale,
+                                     NamedSharding(mesh, sc_spec)),
+                bias=None if node.bias is None else jax.device_put(
+                    node.bias, NamedSharding(
+                        mesh, _staged_spec(path + "/bias", node.bias)[0])))
+            if node.bits == 4 and qw_part and node.pallas_ok:
+                # GSPMD cannot partition the int4 pallas_call
+                placed = dataclasses.replace(placed, pallas_ok=False)
+            return placed
+        spec, _ = _staged_spec(path, node)
+        return jax.device_put(node, NamedSharding(mesh, spec))
+
+    out["layers"] = jax.tree_util.tree_map_with_path(
+        _place, staged_params["layers"],
+        is_leaf=lambda n: isinstance(n, QuantizedLinear))
     for k, v in staged_params.items():
         if k != "layers":
             out[k] = jax.tree.map(lambda a: jax.device_put(a, repl), v)
@@ -117,8 +181,11 @@ class PipelineGenerator:
     seamless exactly when M == S), layers divisible by stages, and
     ``max_len >= T + max_new + 1`` — the last cache row is a scratch slot
     that soaks up pipeline-bubble writes so they can never corrupt live
-    rows. ``repetition_penalty`` is not supported here (it needs a [B, V]
-    presence table per microbatch; use the single-device loop for that).
+    rows. ``repetition_penalty`` works (pass ``prompt_ids``): the last
+    stage — the only one that samples — keeps a per-microbatch [mb, V]
+    presence table seeded from the prompt and updated with each recorded
+    token, so the checkpoint's default sampling config (Qwen2.5-VL-
+    Instruct sets penalty 1.05) runs under PP.
     """
 
     params: Dict[str, Any]       # staged + sharded (see from_params)
@@ -131,9 +198,16 @@ class PipelineGenerator:
     @classmethod
     def from_params(cls, text_params: Dict[str, Any], cfg: QwenTextConfig,
                     mesh: Mesh, eos_token_id: int, max_len: int = 1536,
-                    dtype=jnp.bfloat16) -> "PipelineGenerator":
+                    dtype=jnp.bfloat16, tp_rules=None) -> "PipelineGenerator":
+        """``tp_rules`` (e.g. ``qwen_param_rules()``) + a 2-D
+        ``('pipe','model')`` mesh = tensor parallelism within each stage:
+        the shard_map is manual over ``pipe`` only (``axis_names``), so
+        GSPMD partitions the stage-local matmuls over ``model`` from the
+        parameter shardings alone — PP composes with the TP rules without
+        new collective code here (tests/test_pipeline_parallel.py)."""
         S = mesh.shape[PIPE_AXIS]
-        staged = shard_staged(split_stages(text_params, S), mesh)
+        staged = shard_staged(split_stages(text_params, S), mesh,
+                              tp_rules=tp_rules)
         return cls(staged, cfg, mesh, eos_token_id, max_len, dtype)
 
     @property
@@ -160,12 +234,16 @@ class PipelineGenerator:
             return linear(params["lm_head"], h[:, 0],
                           out_dtype=jnp.float32)
 
-        def stage_fn(params, embeds, cos, sin, pos_start, length0, key,
-                     max_new, scfg):
+        def stage_fn(params, embeds, cos, sin, pos_start, length0, pres0,
+                     key, max_new, scfg):
             """Runs on every device; ``params['layers']`` is the local
             stage slice. embeds [M, mb, T, H]; cos/sin [M, mb, T, hd];
             pos_start [M] (first decode rope position per microbatch);
-            length0 [] (shared prompt length T)."""
+            length0 [] (shared prompt length T); pres0 [M, mb, V] bool
+            prompt-token presence (repetition penalty) or [M, mb, 1]
+            dummy when the penalty is off. Presence is read and updated
+            ONLY at the last stage (the one that samples), so the other
+            stages' replicated copies going stale is harmless."""
             layers = jax.tree.map(lambda a: a[0], params["layers"])
             stage = jax.lax.axis_index(PIPE_AXIS)
             M, mb, T, H = embeds.shape
@@ -225,20 +303,18 @@ class PipelineGenerator:
                 0, M + S - 1, prefill_tick, (act0, ck0, cv0, log0))
 
             # ---- sample token 0 at the last stage, ship to stage 0 --
-            pres = jnp.zeros((M, mb, 1), bool)
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(M))
             tok0 = jax.vmap(
                 lambda lg, pr, k: sample_token(lg, pr, k, scfg)
-            )(lastlog, pres, keys)  # [M, mb]
+            )(lastlog, pres0, keys)  # [M, mb]
             tok0 = jax.lax.ppermute(tok0, PIPE_AXIS, [(S - 1, 0)])
 
             # ---- decode: token ring, M == S -------------------------
-            pres1 = jnp.zeros((mb, 1), bool)
             stops = jnp.asarray((eos,) + tuple(scfg.extra_eos), jnp.int32)
 
             def decode_tick(t, c):
-                act, tok_carry, ck, cv, buf, done, n_out = c
+                act, tok_carry, ck, cv, buf, done, n_out, pres = c
                 m = jnp.mod(t - stage, S)
                 k = (t - stage) // S
                 valid = (t >= stage) & (k < max_new)
@@ -296,23 +372,33 @@ class PipelineGenerator:
                                                             m, 0)
                 done = jax.lax.dynamic_update_index_in_dim(
                     done, jnp.where(upd, done_new, done_m), m, 0)
+                # presence: record the token just consumed BEFORE
+                # sampling the next one — same order as the single-device
+                # loop body (vlm/qwen.py decode_loop). Only the last
+                # stage's copy matters; `upd` gates the write.
+                pres_m = jax.lax.dynamic_index_in_dim(pres, m, 0, False)
+                if scfg.needs_presence:
+                    pres_upd = pres_m.at[jnp.arange(mb), tok_in].set(True)
+                    pres_m = jnp.where(upd, pres_upd, pres_m)
+                    pres = jax.lax.dynamic_update_index_in_dim(
+                        pres, pres_m, m, 0)
                 tok_next = sample_token(
-                    lg, pres1, jax.random.fold_in(key, M + t), scfg)
+                    lg, pres_m, jax.random.fold_in(key, M + t), scfg)
                 # Last stage emits its freshly sampled token (bound for
                 # stage 0); intermediate stages forward the id they used.
                 tok_out = jnp.where(stage == S - 1, tok_next, tok_in)
                 act = jax.lax.ppermute(y, PIPE_AXIS, ring)
                 tok_carry = jax.lax.ppermute(tok_out, PIPE_AXIS, ring)
-                return act, tok_carry, ck, cv, buf, done, n_out
+                return act, tok_carry, ck, cv, buf, done, n_out, pres
 
             buf0 = jnp.full((M, mb, max_new), eos, jnp.int32)
             state = (jnp.zeros((mb, 1, H), dtype),
                      jnp.zeros((mb,), jnp.int32),
                      ck, cv, buf0, jnp.zeros((M, mb), bool),
-                     jnp.zeros((M, mb), jnp.int32))
+                     jnp.zeros((M, mb), jnp.int32), pres0)
             state = jax.lax.fori_loop(0, S * max_new + S - 1, decode_tick,
                                       state)
-            _, _, _, _, buf, _, n_out = state
+            buf, n_out = state[4], state[6]
             last = stage == S - 1
             buf = jax.lax.psum(jnp.where(last, buf, 0), PIPE_AXIS)
             n_out = jax.lax.psum(jnp.where(last, n_out, 0), PIPE_AXIS)
@@ -325,15 +411,20 @@ class PipelineGenerator:
                        for k, v in self.params.items()}
 
         @functools.partial(jax.jit, static_argnames=("max_new", "scfg"))
-        def run(params, embeds, cos, sin, pos_start, length0, key,
+        def run(params, embeds, cos, sin, pos_start, length0, pres0, key,
                 max_new, scfg):
+            # manual ONLY over 'pipe': on a ('pipe','model') mesh the
+            # model axis stays automatic, so GSPMD partitions the
+            # stage-local matmuls from the TP parameter shardings
             fn = jax.shard_map(
                 functools.partial(stage_fn, max_new=max_new, scfg=scfg),
                 mesh=mesh,
-                in_specs=(param_specs, P(), P(), P(), P(), P(), P()),
+                in_specs=(param_specs, P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), P()),
+                axis_names={PIPE_AXIS},
                 check_vma=False)
-            return fn(params, embeds, cos, sin, pos_start, length0, key)
+            return fn(params, embeds, cos, sin, pos_start, length0,
+                      pres0, key)
 
         return run
 
@@ -342,19 +433,35 @@ class PipelineGenerator:
     def generate_from_embeds(self, embeds, position_ids, pos_start,
                              max_new_tokens: int = 200,
                              sampling: Optional[SamplingConfig] = None,
-                             seed: int = 0):
+                             seed: int = 0, prompt_ids=None):
         """embeds [M, mb, T, H] (M == n_stages), position_ids [3, M, mb, T],
         pos_start [M] = first decode rope position (T + rope delta) per
         microbatch. Returns (buf [M, mb, max_new], n_out [M, mb]) with the
         reference's eos-trim semantics; row (m, b)'s generation is
         ``buf[m, b, :n_out[m, b]]``.
+
+        ``prompt_ids`` [M, mb, T] int: required when
+        ``sampling.repetition_penalty != 1`` — it seeds the per-microbatch
+        presence table the penalty consults (the checkpoint-default
+        Qwen2.5-VL-Instruct config sets penalty 1.05, so PP now runs the
+        shipped sampling config; the last stage maintains presence).
         """
         scfg = sampling or GREEDY
-        if scfg.needs_presence:
-            raise NotImplementedError(
-                "repetition_penalty under pipeline parallelism — use the "
-                "single-device decode loop (vlm/qwen.py)")
         M, mb, T, _ = embeds.shape
+        if scfg.needs_presence:
+            if prompt_ids is None:
+                raise ValueError(
+                    "repetition_penalty needs prompt_ids [M, mb, T] to "
+                    "seed the presence table")
+            pids = np.asarray(prompt_ids).reshape(M, mb, T)
+            V = self.cfg.vocab_size
+            pres0 = np.zeros((M, mb, V), bool)
+            for m in range(M):
+                for b in range(mb):
+                    pres0[m, b, pids[m, b]] = True
+            pres0 = jnp.asarray(pres0)
+        else:
+            pres0 = jnp.zeros((M, mb, 1), bool)
         if M != self.n_stages:
             raise ValueError(f"n_micro {M} != n_stages {self.n_stages} — "
                              "the token ring requires M == S")
@@ -371,7 +478,8 @@ class PipelineGenerator:
         buf, n_out = self._run(self.params, jnp.asarray(embeds, self.dtype),
                                cos, sin,
                                jnp.asarray(pos_start, jnp.int32),
-                               jnp.int32(T), jax.random.PRNGKey(seed),
+                               jnp.int32(T), pres0,
+                               jax.random.PRNGKey(seed),
                                max_new_tokens, scfg)
         return np.asarray(buf), np.asarray(n_out)
 
@@ -387,6 +495,7 @@ class PipelineGenerator:
         pos3 = jnp.broadcast_to(pos[None], (3, M, mb, T))
         pos_start = jnp.full((M,), T, jnp.int32)
         buf, n_out = self.generate_from_embeds(
-            embeds, pos3, pos_start, max_new_tokens, sampling, seed)
+            embeds, pos3, pos_start, max_new_tokens, sampling, seed,
+            prompt_ids=prompt_ids)
         return [buf[m, b, :n_out[m, b]].tolist()
                 for m in range(M) for b in range(mb)]
