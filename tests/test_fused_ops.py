@@ -253,24 +253,6 @@ def test_quantized_linear_stacked_keeps_logical_dims():
     assert float(jnp.max(jnp.abs(deq - w[0]))) <= 0.5 * step + 1e-6
 
 
-def test_int8_pallas_matmul_matches_dequant():
-    """quant_matmul_pallas (int8) — the advertised fused serving path;
-    interpret mode catches BlockSpec/operand-rank mismatches on CPU."""
-    from vlm_clip_tpu.ops.quant import (dequantize_weight,
-                                        quant_matmul_pallas,
-                                        quantize_weight)
-
-    ks = jax.random.split(jax.random.PRNGKey(10), 2)
-    K, N_, M = 64, 40, 5  # ragged M and N: exercises both pads
-    w = jax.random.normal(ks[0], (K, N_), jnp.float32)
-    q = quantize_weight(w, bits=8)
-    x = jax.random.normal(ks[1], (M, K), jnp.float32)
-    ref = x @ dequantize_weight(q)
-    got = quant_matmul_pallas(x, q.qweight, q.scale)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-4, rtol=1e-4)
-
-
 def test_fused_attention_matches_xla():
     """Whole-sequence Pallas attention == XLA path (no mask, [T,T]
     causal, and [B,1,T,T] padding masks), plus full-FT backward via the

@@ -7,11 +7,12 @@ dequantized inside the matmul. HBM for the 3B VLM drops 4x (int8) / 8x
 (int4) vs fp32 — the quantized weight is what streams from HBM, which is
 the serving bottleneck.
 
-Two implementations with identical semantics:
-- jnp path (default): dequantize-then-dot; XLA fuses the dequant multiply
-  into the matmul epilogue/prologue;
-- Pallas kernel (:func:`quant_matmul_pallas`): tiles with in-VMEM dequant,
-  for the serving path where the fused epilogue matters.
+int8 uses the jnp dequantize-then-dot path only: XLA fuses the dequant
+multiply into the matmul and streams the int8 weight at the HBM ceiling
+(~557 GB/s measured on the 3B decode GEMVs, BENCH.md round 2); a Pallas
+int8 kernel measured equal-or-worse (390 GB/s TM8 GEMV) and was deleted
+in round 3. int4 keeps a Pallas kernel (:func:`quant_matmul_pallas_int4`)
+because XLA's nibble-unpack does NOT fuse at decode shapes (7.3x win).
 """
 
 from __future__ import annotations
@@ -174,7 +175,6 @@ def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
 
 
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
-                 use_pallas: bool = False,
                  out_dtype=None) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
 
@@ -210,29 +210,12 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
             w = dequantize_weight(q).astype(jnp.bfloat16)
             y = jnp.dot(x.astype(jnp.bfloat16), w,
                         preferred_element_type=jnp.float32)
-    elif use_pallas and q.bits == 8 and jax.default_backend() == "tpu" \
-            and x.ndim == 2:
-        y = quant_matmul_pallas(x, q.qweight, q.scale)
     else:
         w = dequantize_weight(q).astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if q.bias is not None:
         y = y + q.bias.astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
-
-
-# ---------------------------------------------------------------------------
-# Pallas int8 dequant-matmul
-# ---------------------------------------------------------------------------
-
-_TM, _TN = 256, 512
-
-
-def _qmm_kernel(x_ref, qw_ref, scale_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
-    w = qw_ref[:].astype(jnp.float32)
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 # int4: tiled matmul with per-tile nibble unpack in VMEM
@@ -315,33 +298,3 @@ def quant_matmul_pallas_int4(x: jnp.ndarray, packed: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )(xe, xo, packed, scale.reshape(1, -1))
     return y[:M, :out_features if out_features is not None else Np]
-
-
-def quant_matmul_pallas(x: jnp.ndarray, qweight: jnp.ndarray,
-                        scale: jnp.ndarray) -> jnp.ndarray:
-    """int8 weight matmul: x [M, K] @ (int8 [K, N] * scale[N])."""
-    M, K = x.shape
-    N = qweight.shape[1]
-    pm = (-M) % _TM
-    pn = (-N) % _TN
-    xp = jnp.pad(x, ((0, pm), (0, 0))) if pm else x
-    qp = jnp.pad(qweight, ((0, 0), (0, pn))) if pn else qweight
-    sp = jnp.pad(scale, (0, pn)) if pn else scale
-    Mp, Np = M + pm, N + pn
-    y = pl.pallas_call(
-        _qmm_kernel,
-        grid=(Mp // _TM, Np // _TN),
-        in_specs=[
-            pl.BlockSpec((_TM, K), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, _TN), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TM, _TN), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(xp, qp, sp.reshape(1, -1))
-    return y[:M, :N]
