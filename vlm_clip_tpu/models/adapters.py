@@ -208,9 +208,11 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
     """
     t = L.linear(p["text_proj"], text)
     im = L.linear(p["image_proj"], image)
+    # kv stays at batch 1: L.mha projects k/v once and broadcasts inside
+    # the attention einsums (round 3: broadcasting the kv TENSOR here
+    # made the k/v projections + their backward do N x redundant work —
+    # the adapter scans were memory-bound on the copies)
     kv = L.layer_norm(p["norm1"], im, eps)
-    if kv.shape[0] == 1 and text.shape[0] != 1:
-        kv = jnp.broadcast_to(kv, (text.shape[0],) + kv.shape[1:])
     q = L.layer_norm(p["norm2"], t, eps)
     attn = L.mha(p["attn"], q, kv, num_heads, fused=False)
     h = q + attn

@@ -98,9 +98,9 @@ def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
     hd = H // num_heads
     scale = hd ** -0.5
     q = linear(p["q"], q_in).reshape(B, Tq, num_heads, hd)
-    k = linear(p["k"], kv_in).reshape(B, -1, num_heads, hd)
-    v = linear(p["v"], kv_in).reshape(B, -1, num_heads, hd)
-    if Tq == k.shape[1] and fused is not False:
+    k = linear(p["k"], kv_in).reshape(kv_in.shape[0], -1, num_heads, hd)
+    v = linear(p["v"], kv_in).reshape(kv_in.shape[0], -1, num_heads, hd)
+    if B == k.shape[0] and Tq == k.shape[1] and fused is not False:
         from vlm_clip_tpu.ops import attention as fa
 
         if (fused or fa.fused_attention_enabled()) \
@@ -110,22 +110,31 @@ def mha(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, num_heads: int,
                                      v.transpose(0, 2, 1, 3), scale, mask)
             out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
             return linear(p["out"], out)
+    # Shared kv (kv batch 1, q batch N): keep k/v at batch 1 and let the
+    # einsums broadcast. The cross-modal adapters feed a CONSTANT
+    # pseudo-image (model_m.py:95-100 quirk) — broadcasting before the
+    # projections made k/v (and their backward) do N x redundant work;
+    # profiled at B=96 the adapter scans were memory-bound on the
+    # broadcast copies (~580 GB/s moving 1.8 GB/step, BENCH.md round 3).
+    kv_spec = "khd" if k.shape[0] == 1 and B != 1 else "bkhd"
+    if kv_spec == "khd":
+        k, v = k[0], v[0]
     if stable_dtype == jnp.float32:
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        scores = jnp.einsum(f"bqhd,{kv_spec}->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
         if mask is not None:
             scores = scores + mask.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
     else:
         q = q * scale
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        scores = jnp.einsum(f"bqhd,{kv_spec}->bhqk", q, k,
                             preferred_element_type=stable_dtype)
         if mask is not None:
             scores = scores + mask.astype(scores.dtype)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q_in.dtype), v,
+    out = jnp.einsum(f"bhqk,{kv_spec}->bqhd", probs.astype(q_in.dtype), v,
                      preferred_element_type=jnp.float32).astype(q_in.dtype)
     out = out.reshape(B, Tq, H)
     return linear(p["out"], out)
@@ -193,7 +202,16 @@ def encoder_stack(p: Params, x: jnp.ndarray, num_heads: int, eps: float,
                   act: str, mask: Optional[jnp.ndarray] = None,
                   remat: bool = False,
                   stable_dtype=jnp.float32) -> jnp.ndarray:
-    """Run the scanned encoder. ``p`` holds stacked per-layer params."""
+    """Run the scanned encoder. ``p`` holds stacked per-layer params.
+
+    The scan stays ROLLED. ``unroll=True`` was tried for the headline
+    train step (the rolled loop's uniform carry layouts cost ~1.2
+    ms/step of relayout copies in the profile) but the end-to-end A/B
+    was not stable across sessions: +4% in one, **-4%** in the next
+    (both in-process A/B/A, BENCH.md round 3) — XLA's fusion/layout
+    choices for the unrolled form are luck, not a win, and the rolled
+    scan also keeps compile time bounded.
+    """
 
     def body(h, lp):
         return encoder_layer(lp, h, num_heads, eps, act, mask,

