@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--new", type=int, default=200,
                    help="tokens to decode (reference max_new_tokens=200)")
     p.add_argument("--size", type=int, default=448)
+    p.add_argument("--max-len", type=int, default=1536,
+                   help="KV-cache rows; the 448px/200-token context path "
+                        "needs 483 — 512 lets B=64 fit in HBM (B=64 at "
+                        "1536 OOMs: 16.4 of 15.75 GB)")
     p.add_argument("--u8", action="store_true",
                    help="raw uint8 patches + normalization-folded patch "
                         "embed (the extractor's default; 4x smaller "
@@ -65,7 +69,7 @@ def main(argv=None):
         vision = fold_qwen_patch_normalization(vision, cfg.vision)
     vision = quantize_qwen_params({"vision": vision}, 8)["vision"]
     gen = QwenVLGenerator({"text": text, "vision": vision}, cfg,
-                          max_len=1536)
+                          max_len=args.max_len)
 
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (args.size, args.size, 3), np.uint8)

@@ -449,7 +449,8 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                  max_new_tokens: int = 200,
                  fixed_resolution: Optional[int] = 448,
                  sampling: Optional[SamplingConfig] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 max_len: int = 768):
         super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
         if not weights_path or not os.path.isdir(weights_path):
             raise FileNotFoundError(
@@ -486,7 +487,14 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
             # single-chip extractor: fused qkv/gateup decode GEMVs
             params = quantize_qwen_params(params, quant_bits,
                                           fuse_decode=True)
-        self.generator = QwenVLGenerator(params, self.qwen_cfg)
+        # Right-sized KV cache: the extraction prompt (chat template +
+        # 256 vision tokens at 448² + VLM_PROMPT) plus max_new_tokens=200
+        # is ~520 rows; 768 leaves headroom while keeping the per-row KV
+        # footprint small enough that B=64 batched extraction fits in
+        # 16 GB HBM (the old 1536 default OOM'd at B=64: 16.4/15.75 GB;
+        # B=64 at 512 rows measured 39.7k contexts/hour, BENCH.md r3).
+        self.generator = QwenVLGenerator(params, self.qwen_cfg,
+                                         max_len=max_len)
         self.generator.u8_patches = True
         tok_json = os.path.join(weights_path, "tokenizer.json")
         self.qwen_tokenizer = QwenBPETokenizer(tok_json)
