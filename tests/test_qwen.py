@@ -624,3 +624,88 @@ def test_generate_overflow_raises(converted):
     vin = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32)
     with pytest.raises(ValueError, match="max_len"):
         gen.generate_from_ids(ids, vin, max_new_tokens=32)
+
+
+def test_padded_vision_embeds_match_unpadded(converted):
+    """pad_vision_inputs + the segmented masks produce IDENTICAL real
+    vision embeds: pad rows live in their own attention segment in both
+    windowed and full-attention blocks and are never gathered."""
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(7)
+    grid = (1, 6, 10)  # ragged windows for the tiny config
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    patches = rng.normal(size=(60, in_dim)).astype(np.float32)
+    vin = QP.vision_inputs_from_patches(patches, grid, vcfg)
+    pad = QP.pad_vision_inputs(vin, (72,))
+
+    def run(v):
+        out = QM.vision_forward(params["vision"],
+                                jnp.asarray(v.patches),
+                                jnp.asarray(v.rot_pos_emb),
+                                jnp.asarray(v.window_mask),
+                                jnp.asarray(v.full_mask), vcfg)
+        return np.asarray(out)[np.asarray(v.reverse_index)]
+
+    np.testing.assert_allclose(run(pad), run(vin), atol=1e-5, rtol=1e-5)
+
+
+def test_exact_resolution_padded_generate_parity(hf_model, converted):
+    """The bounded-compile exact-HF-resolution path (tail-padded patch
+    sequence + tail-padded prompt + last_index prefill) generates the
+    SAME tokens as the unpadded path and as HF (greedy)."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(11)
+    grid = (1, 6, 10)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    patches = rng.normal(size=(60, in_dim)).astype(np.float32)
+    n_vis = 60 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.from_numpy(ids[None]),
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            pixel_values=torch.from_numpy(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=6, do_sample=False)
+        hf_new = hf_out[0, len(ids):].tolist()
+
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    vin = QP.vision_inputs_from_patches(patches, grid, vcfg)
+    plain = gen.generate_from_ids(ids, vin, max_new_tokens=6)
+    padded = gen.generate_from_ids(
+        ids, QP.pad_vision_inputs(vin, (72,)), max_new_tokens=6,
+        pad_text_to=32)
+    assert padded == plain, (padded, plain)
+    n = min(len(padded), len(hf_new))
+    assert n >= 1
+    assert padded[:n] == hf_new[:n], (padded, hf_new)
+
+
+def test_chunked_prefill_matches_full(converted):
+    """generate_batch_from_ids(prefill_chunk=...) — vision+prefill in
+    sub-batches feeding one full-batch decode — is token-identical to
+    the single-dispatch path (incl. a ragged tail chunk)."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(13)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    grid = (1, 8, 8)
+    visions = [QP.vision_inputs_from_patches(
+        rng.normal(size=(64, in_dim)).astype(np.float32), grid, vcfg)
+        for _ in range(5)]
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+    gen = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    full = gen.generate_batch_from_ids(ids, visions, max_new_tokens=5)
+    chunked = gen.generate_batch_from_ids(ids, visions, max_new_tokens=5,
+                                          prefill_chunk=2)
+    assert chunked == full, (chunked, full)

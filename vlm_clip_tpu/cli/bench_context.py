@@ -37,6 +37,10 @@ def main(argv=None):
                    help="raw uint8 patches + normalization-folded patch "
                         "embed (the extractor's default; 4x smaller "
                         "host->device patch upload)")
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="run vision+prefill in sub-batches of this size "
+                        "feeding one full-batch decode loop — caps the "
+                        "activation memory that OOMs B=128 (~19 GB)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -89,8 +93,9 @@ def main(argv=None):
         if args.batch == 1:
             return gen.generate_from_ids(ids, vins[0],
                                          max_new_tokens=args.new)
-        return gen.generate_batch_from_ids(ids, vins,
-                                           max_new_tokens=args.new)
+        return gen.generate_batch_from_ids(
+            ids, vins, max_new_tokens=args.new,
+            prefill_chunk=args.prefill_chunk)
 
     print("compiling (vision + prefill + decode loop) ...", flush=True)
     t0 = time.perf_counter()

@@ -22,7 +22,7 @@ from vlm_clip_tpu.vlm.extractor import VLM_PROMPT, ClipTextEncoderMixin
 from vlm_clip_tpu.vlm.sampling import (GREEDY, SamplingConfig,
                                        load_generation_config,
                                        sample_token)
-from vlm_clip_tpu.vlm.qwen_model import (QwenVLConfig,
+from vlm_clip_tpu.vlm.qwen_model import (KVCache, QwenVLConfig,
                                          init_kv_cache, text_forward,
                                          vision_forward)
 from vlm_clip_tpu.vlm.qwen_process import (VisionInputs, build_prompt_ids,
@@ -147,7 +147,13 @@ class QwenVLGenerator:
         tcfg = cfg.text
 
         @jax.jit
-        def prefill(params, embeds, position_ids, cache):
+        def prefill(params, embeds, position_ids, cache, t_last):
+            """``t_last``: index of the final REAL prompt position —
+            T-1 normally; < T-1 when the prompt is tail-padded to a
+            bucketed length (exact-HF-resolution path). Pad rows write
+            garbage K/V at rows > t_last, but the causal mask keeps
+            real queries off them and the decode loop overwrites them
+            row by row (its mask admits only cols <= written length)."""
             T = embeds.shape[1]
             causal = jnp.tril(jnp.ones((T, T), bool))
             allowed = jnp.concatenate(
@@ -156,13 +162,13 @@ class QwenVLGenerator:
             mask = jnp.where(allowed[None, None], 0.0, -3.4028235e38)
             logits, cache = text_forward(params, embeds, position_ids,
                                          tcfg, mask, cache, jnp.int32(0),
-                                         last_only=True)
+                                         last_index=t_last)
             return logits[:, -1], cache
 
         @functools.partial(jax.jit, static_argnames=("uw",),
                            donate_argnames=("cache",))
         def embed_prefill(params, patches, rope, wmask, fmask, rev, ids,
-                          img_slots, pos3, cache, uw=None):
+                          img_slots, pos3, cache, t_last, uw=None):
             """Vision tower + embed scatter + prefill in ONE dispatch.
 
             The per-image path used to be ~6 host dispatches (vision,
@@ -183,7 +189,7 @@ class QwenVLGenerator:
             embeds = embeds.at[:, img_slots].set(
                 vis.astype(embeds.dtype))
             return prefill(params["text"],
-                           embeds.astype(self.dtype), pos3, cache)
+                           embeds.astype(self.dtype), pos3, cache, t_last)
 
         def decode_step_inner(params, tokens, pos, cache, length):
             """tokens [B] at sequence rope position ``pos`` (scalar),
@@ -272,7 +278,19 @@ class QwenVLGenerator:
                                   rope, wmask, fmask, cfg.vision,
                                   uniform_window=uw)
 
+        @functools.partial(jax.jit, donate_argnames=("big",))
+        def merge_cache(big, sub_k, sub_v, offset):
+            """Write a prefill chunk's KV rows into the full-batch cache
+            at batch offset (traced scalar — one compile for all
+            chunks). Donated: XLA updates the big cache in place."""
+            k = jax.lax.dynamic_update_slice(big.k, sub_k,
+                                             (0, offset, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(big.v, sub_v,
+                                             (0, offset, 0, 0, 0))
+            return KVCache(k, v, big.length)
+
         self._embed_prefill = embed_prefill
+        self._merge_cache = merge_cache
         self._decode_loop = decode_loop
         self._run_vision = run_vision
         # set True (with a normalization-folded patch embed) to have
@@ -346,21 +364,35 @@ class QwenVLGenerator:
                  fixed_resolution: Optional[int] = 448,
                  sampling: Optional[SamplingConfig] = None,
                  seed: int = 0,
-                 resolution_buckets=None) -> List[int]:
+                 resolution_buckets=None,
+                 pad_to_ladder=None) -> List[int]:
+        """``pad_to_ladder`` (with ``fixed_resolution=None``): exact HF
+        smart_resize grid per image — token counts identical to the HF
+        processor (reference config.py:10-11 honored per image) — with
+        the patch sequence tail-padded to a ladder rung and the prompt
+        padded to a multiple of 64, so compile count stays bounded by
+        (#rungs × #text buckets) instead of one per unique image size.
+        See qwen_process.default_patch_ladder."""
         vision = prepare_vision_inputs(image, self.cfg.vision,
                                        fixed_resolution=fixed_resolution,
                                        resolution_buckets=resolution_buckets,
-                                       raw_uint8=self.u8_patches)
+                                       raw_uint8=self.u8_patches,
+                                       pad_to_ladder=pad_to_ladder)
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
+        pad_text_to = -(-len(ids) // 64) * 64 \
+            if pad_to_ladder is not None else None
         return self.generate_from_ids(ids, vision, max_new_tokens,
-                                      sampling=sampling, seed=seed)
+                                      sampling=sampling, seed=seed,
+                                      pad_text_to=pad_text_to)
 
     def generate_batch(self, images, prompt_text: str, tokenizer,
                        max_new_tokens: int = 200,
                        fixed_resolution: Optional[int] = 448,
                        sampling: Optional[SamplingConfig] = None,
-                       seed: int = 0) -> List[List[int]]:
+                       seed: int = 0,
+                       prefill_chunk: Optional[int] = None
+                       ) -> List[List[int]]:
         """Batched greedy decode over multiple images with one shared
         prompt. All images use the fixed resolution, so the sequence
         layout (and hence positions/masks) is identical across rows and
@@ -377,13 +409,26 @@ class QwenVLGenerator:
         ids = build_prompt_ids(tokenizer, prompt_text,
                                v0.num_vision_tokens, self.cfg)
         return self.generate_batch_from_ids(ids, visions, max_new_tokens,
-                                            sampling=sampling, seed=seed)
+                                            sampling=sampling, seed=seed,
+                                            prefill_chunk=prefill_chunk)
 
     def generate_batch_from_ids(self, ids: np.ndarray,
                                 visions: List[VisionInputs],
                                 max_new_tokens: int = 200,
                                 sampling: Optional[SamplingConfig] = None,
-                                seed: int = 0) -> List[List[int]]:
+                                seed: int = 0,
+                                prefill_chunk: Optional[int] = None
+                                ) -> List[List[int]]:
+        """``prefill_chunk``: run the vision tower + prefill in
+        sub-batches of this many rows feeding ONE full-batch decode
+        loop. Decode is weight-streaming-bound (bigger B is nearly free
+        throughput) while prefill/vision ACTIVATIONS scale with B and
+        are what OOMs first (B=128 at 448² needs ~19 GB, BENCH.md r3) —
+        chunking caps activation memory at the chunk size without
+        giving up decode batch. Token output is identical: each chunk's
+        KV rows are written into the full-batch cache at its batch
+        offset (one traced-offset compile for all chunks).
+        """
         import jax.numpy as jnp
 
         B = len(visions)
@@ -396,39 +441,102 @@ class QwenVLGenerator:
                     f"pass fixed_resolution (or bucket by grid) for "
                     f"mixed-resolution batches")
         pos, delta = rope_index_single(ids, v0.grid, self.cfg)
-        # one dispatch: batched vision tower + embed scatter + prefill
         patches = np.stack([v.patches for v in visions])
         wmask, fmask = self._mask_args(v0)
         T = len(ids)
-        cache = init_kv_cache(self.cfg.text, B, self.max_len, self.dtype)
-        pos3 = np.broadcast_to(np.asarray(pos)[:, None, :], (3, B, T))
         img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
-        logits, cache = self._embed_prefill(
-            self.params, jnp.asarray(patches),
-            jnp.asarray(v0.rot_pos_emb), wmask, fmask,
-            jnp.asarray(v0.reverse_index), jnp.asarray(ids),
-            jnp.asarray(img_slots), jnp.asarray(pos3), cache,
-            uw=v0.uniform_window)
+        rev = jnp.asarray(v0.reverse_index)
+        jids = jnp.asarray(ids)
+        jslots = jnp.asarray(img_slots)
+        jrope = jnp.asarray(v0.rot_pos_emb)
+
+        def run_prefill(chunk_patches, n_rows):
+            cache = init_kv_cache(self.cfg.text, n_rows, self.max_len,
+                                  self.dtype)
+            pos3 = np.broadcast_to(np.asarray(pos)[:, None, :],
+                                   (3, n_rows, T))
+            return self._embed_prefill(
+                self.params, jnp.asarray(chunk_patches), jrope, wmask,
+                fmask, rev, jids, jslots, jnp.asarray(pos3), cache,
+                jnp.int32(T - 1), uw=v0.uniform_window)
+
+        if prefill_chunk is None or prefill_chunk >= B:
+            # one dispatch: batched vision tower + embed scatter + prefill
+            logits, cache = run_prefill(patches, B)
+        else:
+            cache = init_kv_cache(self.cfg.text, B, self.max_len,
+                                  self.dtype)
+            logit_parts = []
+            for off in range(0, B, prefill_chunk):
+                sub = patches[off:off + prefill_chunk]
+                logits_c, sub_cache = run_prefill(sub, len(sub))
+                cache = self._merge_cache(cache, sub_cache.k,
+                                          sub_cache.v, jnp.int32(off))
+                logit_parts.append(logits_c)
+            cache = KVCache(cache.k, cache.v, cache.length + T)
+            logits = jnp.concatenate(logit_parts, axis=0)
         return self._run_decode_loop(logits, cache, T, delta,
                                      max_new_tokens, sampling, seed, ids)
+
+    @staticmethod
+    def _pad_slots(vision: VisionInputs, img_slots: np.ndarray):
+        """Fixed-shape (rev, img_slots) for a tail-padded patch
+        sequence: pad both with their LAST entry, so the duplicate
+        scatter writes carry the identical (real) value — no masked
+        text slot is ever needed and write order cannot matter."""
+        n_cap = len(vision.patches) * len(vision.reverse_index) \
+            // max(1, (vision.valid_len or len(vision.patches)))
+        rev = vision.reverse_index
+        if len(rev) < n_cap:
+            rev = np.concatenate(
+                [rev, np.full(n_cap - len(rev), rev[-1], rev.dtype)])
+            img_slots = np.concatenate(
+                [img_slots, np.full(n_cap - len(img_slots),
+                                    img_slots[-1], img_slots.dtype)])
+        return rev, img_slots
+
+    @staticmethod
+    def _pad_text(ids: np.ndarray, pos: np.ndarray, pad_text_to: int):
+        """Tail-pad prompt ids/positions to a bucketed length. Pad
+        positions just continue the arange — their K/V are causally
+        invisible to real tokens and the decode loop overwrites them."""
+        T = len(ids)
+        if pad_text_to < T:
+            raise ValueError(f"pad_text_to={pad_text_to} < prompt "
+                             f"length {T}")
+        pad = pad_text_to - T
+        if pad == 0:
+            return ids, pos
+        ids_p = np.concatenate([ids, np.full(pad, 0, ids.dtype)])
+        pos_p = np.concatenate(
+            [pos, pos[:, -1:] + 1 + np.arange(pad)[None]], axis=1)
+        return ids_p, pos_p
 
     def generate_from_ids(self, ids: np.ndarray, vision: VisionInputs,
                           max_new_tokens: int = 200,
                           sampling: Optional[SamplingConfig] = None,
-                          seed: int = 0) -> List[int]:
+                          seed: int = 0,
+                          pad_text_to: Optional[int] = None) -> List[int]:
         import jax.numpy as jnp
 
         pos, delta = rope_index_single(ids, vision.grid, self.cfg)
         wmask, fmask = self._mask_args(vision)
         T = len(ids)
+        ids_p, pos_p = (self._pad_text(ids, np.asarray(pos), pad_text_to)
+                        if pad_text_to else (ids, np.asarray(pos)))
+        if len(ids_p) > self.max_len:
+            raise ValueError(
+                f"padded prompt ({len(ids_p)} tokens) exceeds the KV "
+                f"cache max_len ({self.max_len})")
         cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype)
         img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
+        rev, img_slots = self._pad_slots(vision, img_slots)
         logits, cache = self._embed_prefill(
             self.params, jnp.asarray(vision.patches)[None],
             jnp.asarray(vision.rot_pos_emb), wmask, fmask,
-            jnp.asarray(vision.reverse_index), jnp.asarray(ids),
+            jnp.asarray(rev), jnp.asarray(ids_p),
             jnp.asarray(img_slots),
-            jnp.asarray(np.asarray(pos)[:, None, :]), cache,
+            jnp.asarray(pos_p[:, None, :]), cache, jnp.int32(T - 1),
             uw=vision.uniform_window)
         return self._run_decode_loop(logits, cache, T, delta,
                                      max_new_tokens, sampling, seed,
@@ -450,7 +558,9 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                  fixed_resolution: Optional[int] = 448,
                  sampling: Optional[SamplingConfig] = None,
                  seed: int = 0,
-                 max_len: int = 768):
+                 max_len: int = 768,
+                 pad_to_ladder=None,
+                 prefill_chunk: Optional[int] = None):
         super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
         if not weights_path or not os.path.isdir(weights_path):
             raise FileNotFoundError(
@@ -500,6 +610,12 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         self.qwen_tokenizer = QwenBPETokenizer(tok_json)
         self.max_new_tokens = max_new_tokens
         self.fixed_resolution = fixed_resolution
+        # exact-HF dynamic resolution under bounded compiles: pass
+        # fixed_resolution=None, pad_to_ladder=default_patch_ladder(cfg)
+        self.pad_to_ladder = pad_to_ladder
+        # cap vision/prefill activation memory in batched extraction
+        # (B=128 OOMs at ~19 GB without it, BENCH.md r3)
+        self.prefill_chunk = prefill_chunk
         # Like HF generate(): defaults come from the checkpoint's
         # generation_config.json (model_v.py:109) unless overridden.
         self.sampling = sampling if sampling is not None else \
@@ -516,7 +632,8 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 max_new_tokens=self.max_new_tokens,
                 fixed_resolution=self.fixed_resolution,
                 sampling=self.sampling,
-                seed=self.seed + self._n_generated)
+                seed=self.seed + self._n_generated,
+                pad_to_ladder=self.pad_to_ladder)
             text = self.qwen_tokenizer.decode(ids).strip()
             return text if text else None
         except Exception as e:  # None-on-error (model_v.py:124-126)
@@ -541,7 +658,8 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 max_new_tokens=self.max_new_tokens,
                 fixed_resolution=self.fixed_resolution,
                 sampling=self.sampling,
-                seed=self.seed + self._n_generated)
+                seed=self.seed + self._n_generated,
+                prefill_chunk=self.prefill_chunk)
             out = []
             for ids in id_lists:
                 text = self.qwen_tokenizer.decode(ids).strip()

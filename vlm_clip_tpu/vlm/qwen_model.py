@@ -336,7 +336,8 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
                  cache: Optional[KVCache] = None,
                  cache_index: Optional[jnp.ndarray] = None,
-                 last_only: bool = False
+                 last_only: bool = False,
+                 last_index: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """embeds [B, T, H] -> (logits [B, T, V], updated cache).
 
@@ -348,6 +349,11 @@ def text_forward(params: Params, embeds: jnp.ndarray,
     the 152k-vocab head over all T positions is ~170 MB of wasted
     logits (plus, for an int4 untied head, a full fp32 weight
     materialization on the M>32 dequant route).
+
+    ``last_index`` (traced scalar, implies ``last_only``): position of
+    the "last" token when the sequence is tail-padded to a bucketed
+    length — the padded prefill path (exact HF dynamic resolution)
+    needs logits at the final REAL position, not at T-1.
     """
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
                              cfg.mrope_section)
@@ -381,7 +387,9 @@ def text_forward(params: Params, embeds: jnp.ndarray,
             cache.v, nv, (0, 0, cache_index, 0, 0))
         new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
 
-    if last_only:
+    if last_index is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
+    elif last_only:
         x = x[:, -1:]
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
