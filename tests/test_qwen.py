@@ -709,3 +709,45 @@ def test_chunked_prefill_matches_full(converted):
     chunked = gen.generate_batch_from_ids(ids, visions, max_new_tokens=5,
                                           prefill_chunk=2)
     assert chunked == full, (chunked, full)
+
+
+def test_extract_batch_dynamic_grouping(converted):
+    """Exact-HF-resolution batched extraction: images grouped by grid,
+    one generate_batch per group, outputs reassembled in input order
+    and equal to the per-image path (greedy)."""
+    from vlm_clip_tpu.vlm.qwen import (QwenVLContextExtractor,
+                                       QwenVLGenerator)
+    from vlm_clip_tpu.vlm.sampling import GREEDY
+
+    cfg, params = converted
+
+    class FakeTok:
+        def encode(self, text):
+            return [1, 2, 3]
+
+        def decode(self, ids, skip_special=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    ex = object.__new__(QwenVLContextExtractor)
+    ex.qwen_cfg = cfg
+    ex.generator = QwenVLGenerator(params, cfg, max_len=128,
+                                   dtype=jnp.float32)
+    ex.qwen_tokenizer = FakeTok()
+    ex.max_new_tokens = 4
+    ex.fixed_resolution = None
+    ex.pad_to_ladder = (64, 72)
+    ex.prefill_chunk = None
+    ex.min_pixels = 128
+    ex.max_pixels = 4096
+    ex.sampling = GREEDY
+    ex.seed = 0
+    ex._n_generated = 0
+
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 255, (24, 40, 3), dtype=np.uint8),  # (1,6,10)
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),  # (1,8,8)
+            rng.integers(0, 255, (24, 40, 3), dtype=np.uint8)]  # (1,6,10)
+    batched = ex.extract_contexts_batch(imgs)
+    singles = [ex.extract_context_from_image(im) for im in imgs]
+    assert batched == singles, (batched, singles)
+    assert all(s for s in batched)

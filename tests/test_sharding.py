@@ -277,3 +277,69 @@ def test_int4_tp_sharding_disables_pallas_route():
     assert Q._INT4_PALLAS_ENABLED  # process-global toggle untouched
     # an unsharded model in the same process keeps its Pallas route
     assert qparams["layers"]["mlp"]["gate"].pallas_ok
+
+
+def test_zero1_state_sharding_matches_unsharded(setup):
+    """ZeRO-1 (zero1_mesh): sharded-moment Adam step == unsharded
+    step, and the moments are ACTUALLY sharded over `data` at rest.
+
+    eps=1e-2: plain Adam's step-1 update is ~sign(g)*lr, so reduction-
+    order noise on near-zero grads flips whole updates (same reason the
+    DP test uses SGD); a large eps keeps the mu/nu state machinery
+    fully exercised while making updates smooth in g."""
+    cfg, acfg, params, batch = setup
+    tx = optax.adam(1e-3, eps=1e-2)
+
+    def fresh_state():
+        return init_train_state(jax.random.PRNGKey(5), cfg, acfg, tx,
+                                clip_params=jax.tree.map(jnp.array, params))
+
+    step = make_m_train_step(cfg, acfg, tx, FP32)
+    s_ref, m_ref = step(fresh_state(), batch)
+    s_ref, m_ref2 = step(s_ref, batch)
+
+    from vlm_clip_tpu.parallel.sharding import zero1_place, zero1_specs
+
+    mesh = create_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    with with_mesh(mesh):
+        state = fresh_state()
+        state = state._replace(
+            clip_params=shard_params(state.clip_params, mesh),
+            adapter_params=jax.device_put(state.adapter_params,
+                                          NamedSharding(mesh, P())),
+            opt_state=zero1_place(state.opt_state, mesh))
+
+        def put(x):
+            return jax.device_put(x, NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+        sharded_batch = {k: put(v) for k, v in batch.items()}
+        step_z = make_m_train_step(cfg, acfg, tx, FP32, zero1_mesh=mesh)
+        s_z, m_z = step_z(state, sharded_batch)
+        s_z, m_z2 = step_z(s_z, sharded_batch)
+
+    np.testing.assert_allclose(float(m_z.loss), float(m_ref.loss),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(m_z2.loss), float(m_ref2.loss),
+                               atol=2e-4)
+    for a, b in zip(jax.tree.leaves(s_ref.adapter_params),
+                    jax.tree.leaves(s_z.adapter_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+    # moments stay sharded over `data` at rest (ZeRO-1's memory claim):
+    # every leaf with a dim divisible by data=4 must carry that spec
+    specs = zero1_specs(s_z.opt_state, mesh)
+    n_sharded = 0
+    for leaf, spec in zip(jax.tree.leaves(s_z.opt_state),
+                          jax.tree.leaves(specs, is_leaf=lambda s:
+                                          isinstance(s, P))):
+        if any(ax is not None for ax in spec):
+            def _norm(s):  # JAX drops trailing Nones in stored specs
+                t = tuple(s)
+                while t and t[-1] is None:
+                    t = t[:-1]
+                return t
+            assert _norm(leaf.sharding.spec) == _norm(spec), (
+                leaf.shape, spec, leaf.sharding)
+            n_sharded += 1
+    assert n_sharded >= 4  # adam mu+nu over several adapter leaves

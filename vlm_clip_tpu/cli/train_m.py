@@ -39,7 +39,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-size", type=int, default=None,
                    help="defaults to the model config image size")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the Adam moments over all devices "
+                        "(ZeRO-1; pairs with --full-finetune, where the "
+                        "moments are 2x the tower params)")
     return p
+
+
+def _zero1_mesh(args):
+    """Data-axis mesh over every visible device for --zero1."""
+    if not args.zero1:
+        return None
+    import jax
+
+    from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    return create_mesh(MeshConfig(data=len(jax.devices()), model=1),
+                       jax.devices())
 
 
 def main(argv=None) -> None:
@@ -73,7 +89,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, max_grad_norm=args.max_grad_norm,
         output_dir=args.output_dir, num_epochs_hint=args.num_epochs,
         freeze_clip=not args.full_finetune, schedule=args.schedule,
-        seed=args.seed)
+        seed=args.seed, zero1_mesh=_zero1_mesh(args))
     history = trainer.train(args.num_epochs, save_every=args.save_every,
                             eval_every=args.eval_every)
     log.info("training history: %s", history)

@@ -171,3 +171,44 @@ def shard_params(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(
         _place, params,
         is_leaf=lambda n: isinstance(n, QuantizedLinear))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def zero1_specs(tree: Any, mesh: Mesh, axis: str = None) -> Any:
+    """PartitionSpec pytree for ZeRO-1 optimizer-state (and gradient)
+    sharding: each leaf shards its FIRST dim divisible by the data-axis
+    size; leaves with no such dim (scalars, odd shapes) replicate.
+
+    The reference keeps full AdamW moments on every GPU (torch
+    trainer.py:46-62); under pure DP that wastes (data-1)/data of the
+    moment memory. Constraining the moments (and the grads feeding
+    them) to these specs makes GSPMD reduce-scatter gradients, update
+    each moment shard locally, and all-gather only the parameter
+    updates — ZeRO-1 semantics without any hand-written collectives.
+    """
+    from vlm_clip_tpu.parallel.mesh import DATA_AXIS
+
+    axis = axis or DATA_AXIS
+    n = mesh.shape.get(axis, 1)
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        for i, d in enumerate(shape):
+            if d >= n and d % n == 0 and n > 1:
+                return P(*([None] * i), axis,
+                         *([None] * (len(shape) - i - 1)))
+        return P()
+
+    return jax.tree.map(spec, tree)
+
+
+def zero1_place(tree: Any, mesh: Mesh, axis: str = None) -> Any:
+    """device_put ``tree`` (typically a fresh optimizer state) with the
+    ZeRO-1 shardings — each device holds 1/data of every moment."""
+    specs = zero1_specs(tree, mesh, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, specs)

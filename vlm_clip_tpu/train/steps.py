@@ -82,14 +82,38 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
                       policy: DTypePolicy = BF16,
                       freeze_clip: bool = True,
                       remat: bool = False,
-                      fused_loss: bool = False) -> Callable:
+                      fused_loss: bool = False,
+                      zero1_mesh: Optional[Any] = None) -> Callable:
     """Build the donated jit train step: (state, batch) -> (state, metrics).
 
     batch = dict(input_ids, attention_mask, pixel_values).
     ``fused_loss=True`` routes the contrastive head through the Pallas
     kernel (ops/contrastive.py) — single-device only (under DP the XLA
     path owns the cross-shard all_gather).
+
+    ``zero1_mesh``: shard the optimizer state (and the gradients
+    feeding it) over the mesh's data axis — ZeRO-1. GSPMD then
+    reduce-scatters grads, updates moment SHARDS, and all-gathers only
+    the parameter updates; each device stores 1/data of the AdamW
+    moments (the full-fine-tune case: 2×428M fp32 moments for ViT-L/14
+    shrink to 1/data per chip). Numerics are equivalence-tested against
+    the unsharded step (tests/test_sharding.py). Place the initial
+    state with parallel.sharding.zero1_place so it is sharded at REST,
+    not just inside the step. Assumes TRAINABLE params are replicated
+    (true for every trainer here: TP rules shard only the frozen
+    towers) — trainables are re-constrained to replicated after the
+    update, which would fight a TP sharding on trainable leaves.
     """
+    if zero1_mesh is not None:
+        from vlm_clip_tpu.parallel.sharding import zero1_specs
+
+        def _z(tree):
+            return jax.tree.map(
+                jax.lax.with_sharding_constraint, tree,
+                zero1_specs(tree, zero1_mesh))
+    else:
+        def _z(tree):
+            return tree
 
     def loss_fn(trainable, static_clip, batch):
         if freeze_clip:
@@ -123,8 +147,20 @@ def make_m_train_step(cfg: CLIPConfig, acfg: AdapterConfig,
         loss, grads = jax.value_and_grad(loss_fn)(trainable, static_clip,
                                                   batch)
         gnorm = optax.global_norm(grads)
+        # ZeRO-1: grads arrive at the optimizer sharded over `data`
+        # (reduce_scatter instead of all_reduce) and moments stay
+        # sharded; only the updates are gathered back to replicated.
+        grads = _z(grads)
+        opt_state = _z(opt_state)
         updates, opt_state = tx.update(grads, opt_state, trainable)
+        opt_state = _z(opt_state)
         trainable = optax.apply_updates(trainable, updates)
+        if zero1_mesh is not None:
+            # keep params replicated at rest (the all_gather point) so
+            # the state layout is stable step over step
+            trainable = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, P()),
+                trainable)
         return trainable, opt_state, StepMetrics(loss=loss, grad_norm=gnorm)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, StepMetrics]:

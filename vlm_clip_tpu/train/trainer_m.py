@@ -49,7 +49,8 @@ class CLIPAdapterTrainer:
                  output_dir: str = "./clip_adapter_checkpoints",
                  num_epochs_hint: int = 10, freeze_clip: bool = True,
                  schedule: str = "linear", device_prefetch: int = 0,
-                 policy: DTypePolicy = BF16, seed: int = 0):
+                 policy: DTypePolicy = BF16, seed: int = 0,
+                 zero1_mesh=None):
         self.cfg = cfg
         self.acfg = acfg
         self.train_dataloader = train_dataloader
@@ -68,8 +69,16 @@ class CLIPAdapterTrainer:
         self.state = init_train_state(jax.random.PRNGKey(seed), cfg, acfg,
                                       self.tx, clip_params=clip_params,
                                       freeze_clip=freeze_clip)
+        if zero1_mesh is not None:
+            # ZeRO-1: Adam moments sharded over the data axis (matters
+            # most for --full-finetune, where moments are 2x the tower)
+            from vlm_clip_tpu.parallel.sharding import zero1_place
+
+            self.state = self.state._replace(
+                opt_state=zero1_place(self.state.opt_state, zero1_mesh))
         self._step = make_m_train_step(cfg, acfg, self.tx, policy,
-                                       freeze_clip=freeze_clip)
+                                       freeze_clip=freeze_clip,
+                                       zero1_mesh=zero1_mesh)
         self._eval_step = make_m_eval_step(cfg, acfg, policy)
         self.history: List[Dict[str, float]] = []
 

@@ -365,7 +365,9 @@ class QwenVLGenerator:
                  sampling: Optional[SamplingConfig] = None,
                  seed: int = 0,
                  resolution_buckets=None,
-                 pad_to_ladder=None) -> List[int]:
+                 pad_to_ladder=None,
+                 min_pixels: Optional[int] = None,
+                 max_pixels: Optional[int] = None) -> List[int]:
         """``pad_to_ladder`` (with ``fixed_resolution=None``): exact HF
         smart_resize grid per image — token counts identical to the HF
         processor (reference config.py:10-11 honored per image) — with
@@ -373,11 +375,17 @@ class QwenVLGenerator:
         padded to a multiple of 64, so compile count stays bounded by
         (#rungs × #text buckets) instead of one per unique image size.
         See qwen_process.default_patch_ladder."""
+        budget = {}
+        if min_pixels is not None:
+            budget["min_pixels"] = min_pixels
+        if max_pixels is not None:
+            budget["max_pixels"] = max_pixels
         vision = prepare_vision_inputs(image, self.cfg.vision,
                                        fixed_resolution=fixed_resolution,
                                        resolution_buckets=resolution_buckets,
                                        raw_uint8=self.u8_patches,
-                                       pad_to_ladder=pad_to_ladder)
+                                       pad_to_ladder=pad_to_ladder,
+                                       **budget)
         ids = build_prompt_ids(tokenizer, prompt_text,
                                vision.num_vision_tokens, self.cfg)
         pad_text_to = -(-len(ids) // 64) * 64 \
@@ -417,7 +425,8 @@ class QwenVLGenerator:
                                 max_new_tokens: int = 200,
                                 sampling: Optional[SamplingConfig] = None,
                                 seed: int = 0,
-                                prefill_chunk: Optional[int] = None
+                                prefill_chunk: Optional[int] = None,
+                                pad_text_to: Optional[int] = None
                                 ) -> List[List[int]]:
         """``prefill_chunk``: run the vision tower + prefill in
         sub-batches of this many rows feeding ONE full-batch decode
@@ -428,6 +437,11 @@ class QwenVLGenerator:
         giving up decode batch. Token output is identical: each chunk's
         KV rows are written into the full-batch cache at its batch
         offset (one traced-offset compile for all chunks).
+
+        ``pad_text_to``: tail-pad the shared prompt to a bucketed
+        length (exact-HF-resolution batches: with ladder-padded vision
+        inputs and a bucketed prompt, every grid at the same rung
+        shares ONE compile).
         """
         import jax.numpy as jnp
 
@@ -445,16 +459,23 @@ class QwenVLGenerator:
         wmask, fmask = self._mask_args(v0)
         T = len(ids)
         img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
-        rev = jnp.asarray(v0.reverse_index)
-        jids = jnp.asarray(ids)
+        rev_np, img_slots = self._pad_slots(v0, img_slots)
+        ids_p, pos_p = (self._pad_text(ids, np.asarray(pos), pad_text_to)
+                        if pad_text_to else (ids, np.asarray(pos)))
+        if len(ids_p) > self.max_len:
+            raise ValueError(
+                f"padded prompt ({len(ids_p)} tokens) exceeds the KV "
+                f"cache max_len ({self.max_len})")
+        T_p = len(ids_p)
+        rev = jnp.asarray(rev_np)
+        jids = jnp.asarray(ids_p)
         jslots = jnp.asarray(img_slots)
         jrope = jnp.asarray(v0.rot_pos_emb)
 
         def run_prefill(chunk_patches, n_rows):
             cache = init_kv_cache(self.cfg.text, n_rows, self.max_len,
                                   self.dtype)
-            pos3 = np.broadcast_to(np.asarray(pos)[:, None, :],
-                                   (3, n_rows, T))
+            pos3 = np.broadcast_to(pos_p[:, None, :], (3, n_rows, T_p))
             return self._embed_prefill(
                 self.params, jnp.asarray(chunk_patches), jrope, wmask,
                 fmask, rev, jids, jslots, jnp.asarray(pos3), cache,
@@ -560,7 +581,9 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                  seed: int = 0,
                  max_len: int = 768,
                  pad_to_ladder=None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 min_pixels: Optional[int] = None,
+                 max_pixels: Optional[int] = None):
         super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
         if not weights_path or not os.path.isdir(weights_path):
             raise FileNotFoundError(
@@ -616,12 +639,24 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         # cap vision/prefill activation memory in batched extraction
         # (B=128 OOMs at ~19 GB without it, BENCH.md r3)
         self.prefill_chunk = prefill_chunk
+        # per-image pixel budget (reference config.py:10-11); None =
+        # the HF/reference defaults (qwen_process.VLM_DEFAULT_*)
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
         # Like HF generate(): defaults come from the checkpoint's
         # generation_config.json (model_v.py:109) unless overridden.
         self.sampling = sampling if sampling is not None else \
             load_generation_config(weights_path, self.qwen_cfg.eos_token_id)
         self.seed = seed
         self._n_generated = 0
+
+    def _pixel_budget(self) -> Dict[str, int]:
+        budget = {}
+        if self.min_pixels is not None:
+            budget["min_pixels"] = self.min_pixels
+        if self.max_pixels is not None:
+            budget["max_pixels"] = self.max_pixels
+        return budget
 
     def extract_context_from_image(self, image) -> Optional[str]:
         try:
@@ -633,7 +668,8 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 fixed_resolution=self.fixed_resolution,
                 sampling=self.sampling,
                 seed=self.seed + self._n_generated,
-                pad_to_ladder=self.pad_to_ladder)
+                pad_to_ladder=self.pad_to_ladder,
+                **self._pixel_budget())
             text = self.qwen_tokenizer.decode(ids).strip()
             return text if text else None
         except Exception as e:  # None-on-error (model_v.py:124-126)
@@ -641,16 +677,23 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
             return None
 
     def extract_contexts_batch(self, images) -> List[Optional[str]]:
-        """Batched extraction: shared prompt, fixed resolution, one
-        decode loop for the whole batch. Decode is weight-streaming-
-        bound, so throughput scales ~linearly with batch size (B=8
-        measured 3.1× the per-image rate end-to-end, BENCH.md). Rows
-        that fail fall back to per-image extraction (None-on-error).
-        Dynamic-resolution extractors (fixed_resolution=None) cannot
-        share a batch layout, so they keep the per-image path — row i
-        always equals extract_context_from_image(images[i])."""
+        """Batched extraction: shared prompt layout, one decode loop
+        per batch. Decode is weight-streaming-bound, so throughput
+        scales ~linearly with batch size (B=8 measured 3.1× the
+        per-image rate end-to-end, BENCH.md). Rows that fail fall back
+        to per-image extraction (None-on-error).
+
+        Dynamic resolution (fixed_resolution=None): WITHOUT a patch
+        ladder, rows cannot share a layout and the per-image path is
+        used. WITH ``pad_to_ladder``, images are grouped by grid (one
+        generate_batch call per group, outputs reassembled in input
+        order); ladder padding + bucketed prompts keep compiles bounded
+        by (#rungs × #text buckets) even across many distinct grids."""
         if self.fixed_resolution is None:
-            return [self.extract_context_from_image(im) for im in images]
+            if self.pad_to_ladder is None:
+                return [self.extract_context_from_image(im)
+                        for im in images]
+            return self._extract_batch_dynamic(list(images))
         try:
             self._n_generated += 1
             id_lists = self.generator.generate_batch(
@@ -660,15 +703,57 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                 sampling=self.sampling,
                 seed=self.seed + self._n_generated,
                 prefill_chunk=self.prefill_chunk)
-            out = []
-            for ids in id_lists:
-                text = self.qwen_tokenizer.decode(ids).strip()
-                out.append(text if text else None)
-            return out
+            return [self._decode_or_none(ids) for ids in id_lists]
         except Exception as e:
             print(f"Batched VLM context extraction failed ({e}); "
                   f"falling back to per-image")
             return [self.extract_context_from_image(im) for im in images]
+
+    def _decode_or_none(self, ids) -> Optional[str]:
+        text = self.qwen_tokenizer.decode(ids).strip()
+        return text if text else None
+
+    def _extract_batch_dynamic(self, images) -> List[Optional[str]]:
+        """Exact-HF-resolution batching: group by smart_resize grid."""
+        vins: List[Optional[VisionInputs]] = []
+        for im in images:
+            try:
+                vins.append(prepare_vision_inputs(
+                    im, self.qwen_cfg.vision,
+                    fixed_resolution=None,
+                    raw_uint8=self.generator.u8_patches,
+                    pad_to_ladder=self.pad_to_ladder,
+                    **self._pixel_budget()))
+            except Exception as e:
+                print(f"Error processing image for VLM context: {e}")
+                vins.append(None)
+        groups: Dict[tuple, List[int]] = {}
+        for i, v in enumerate(vins):
+            if v is not None:
+                groups.setdefault(
+                    (v.grid, v.patches.shape[0]), []).append(i)
+        out: List[Optional[str]] = [None] * len(images)
+        for (grid, _), idxs in groups.items():
+            gvins = [vins[i] for i in idxs]
+            ids = build_prompt_ids(self.qwen_tokenizer, VLM_PROMPT,
+                                   gvins[0].num_vision_tokens,
+                                   self.qwen_cfg)
+            try:
+                self._n_generated += 1
+                id_lists = self.generator.generate_batch_from_ids(
+                    ids, gvins, max_new_tokens=self.max_new_tokens,
+                    sampling=self.sampling,
+                    seed=self.seed + self._n_generated,
+                    prefill_chunk=self.prefill_chunk,
+                    pad_text_to=-(-len(ids) // 64) * 64)
+                for i, toks in zip(idxs, id_lists):
+                    out[i] = self._decode_or_none(toks)
+            except Exception as e:
+                print(f"Batched VLM context extraction failed for grid "
+                      f"{grid} ({e}); falling back to per-image")
+                for i in idxs:
+                    out[i] = self.extract_context_from_image(images[i])
+        return out
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
