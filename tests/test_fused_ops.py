@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from vlm_clip_tpu.models import adapters as A
 from vlm_clip_tpu.models import layers as L
 from vlm_clip_tpu.ops.fused_adapter import (feature_adapter_blend_fused,
+                                            prenorm_mlp_fused,
                                             seq_adapter_fused)
 
 ATOL = 1e-5
@@ -109,6 +110,87 @@ def test_seq_adapter_fused_grads():
                           "x w1 b1 w2 b2 ln_scale ln_bias".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
+
+
+def _pnmlp_ref(x, w1, b1, w2, b2, ls, lb):
+    mlp_p = {"fc1": {"kernel": w1, "bias": b1},
+             "fc2": {"kernel": w2, "bias": b2}}
+    return x + L.mlp(mlp_p, L.layer_norm({"scale": ls, "bias": lb}, x),
+                     act="gelu")
+
+
+def _pnmlp_args(seed, n, d, k):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (n, d), jnp.float32)
+    w1 = jax.random.normal(ks[1], (d, k)) * 0.1
+    b1 = jax.random.normal(ks[2], (k,)) * 0.1
+    w2 = jax.random.normal(ks[3], (k, d)) * 0.1
+    b2 = jax.random.normal(ks[4], (d,)) * 0.1
+    ls = 1.0 + jax.random.normal(ks[5], (d,)) * 0.1
+    lb = jax.random.normal(ks[6], (d,)) * 0.1
+    return x, w1, b1, w2, b2, ls, lb
+
+
+# (300, 64, 1024) exercises the 2-D grid: rows pad to 2 tiles, hidden
+# splits into 512-column chunks with cross-chunk accumulation
+@pytest.mark.parametrize("n,d,k", [(8, 64, 32), (300, 64, 1024)])
+def test_prenorm_mlp_fused_forward(n, d, k):
+    args = _pnmlp_args(11, n, d, k)
+    got = prenorm_mlp_fused(*args)
+    want = _pnmlp_ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("n,d,k", [(100, 64, 16), (300, 64, 1024)])
+def test_prenorm_mlp_fused_grads(n, d, k):
+    args = _pnmlp_args(12, n, d, k)
+    t = jax.random.normal(jax.random.PRNGKey(99), (n, args[0].shape[1]))
+
+    def loss_fused(*a):
+        return jnp.sum(prenorm_mlp_fused(*a) * t)
+
+    def loss_ref(*a):
+        return jnp.sum(_pnmlp_ref(*a) * t)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b, name in zip(g_fused, g_ref,
+                          "x w1 b1 w2 b2 ln_scale ln_bias".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
+
+
+def test_cross_modal_adapter_fused_parity():
+    """cross_modal_adapter impl='fused' (both Pallas kernels through the
+    interpreter, incl. the block-diagonal shared-kv pack) == impl='jnp'
+    — forward AND gradients wrt every adapter param and the text."""
+    rng = jax.random.PRNGKey(5)
+    p = A.init_cross_modal_adapter(rng, text_dim=64, image_dim=96,
+                                   hidden=64, num_heads=4)
+    text = jax.random.normal(jax.random.PRNGKey(6), (3, 7, 64))
+    image = jax.random.normal(jax.random.PRNGKey(7), (1, 5, 96))
+    got = A.cross_modal_adapter(p, text, image, num_heads=4, impl="fused")
+    want = A.cross_modal_adapter(p, text, image, num_heads=4, impl="jnp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    t = jax.random.normal(jax.random.PRNGKey(8), got.shape)
+
+    def loss(impl):
+        def f(params, txt):
+            out = A.cross_modal_adapter(params, txt, image, num_heads=4,
+                                        impl=impl)
+            return jnp.sum(out * t)
+        return f
+
+    gp_f, gt_f = jax.grad(loss("fused"), argnums=(0, 1))(p, text)
+    gp_r, gt_r = jax.grad(loss("jnp"), argnums=(0, 1))(p, text)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
+                               atol=2e-4, err_msg="d/dtext")
+    flat_f = jax.tree_util.tree_flatten_with_path(gp_f)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(gp_r)[0]
+    for (path, a), (_, b) in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_contrastive_loss_fused_parity():

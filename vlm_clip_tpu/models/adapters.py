@@ -194,7 +194,8 @@ def init_mlp_gelu(rng, hidden: int, dtype=jnp.float32) -> Params:
 
 
 def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
-                        num_heads: int = 8, eps: float = 1e-5) -> jnp.ndarray:
+                        num_heads: int = 8, eps: float = 1e-5,
+                        impl: str = "auto") -> jnp.ndarray:
     """SharedMHSAttentionAdapter forward (clip_adapter.py:99-128).
 
     Note the reference quirk: the residual for the attention block is the
@@ -206,6 +207,35 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
     table as the image (model_m.py:95-100), so per-element projection
     would be pure duplicated work.
     """
+    if impl != "jnp":
+        from vlm_clip_tpu.ops import fused_adapter as F
+
+        Tk = image.shape[1]
+        if (impl == "fused" or F.fused_enabled()) \
+                and image.shape[0] == 1 and Tk <= F.ATTN_SEG_MAX:
+            # Two Pallas kernels per layer (in-kernel remat, nothing
+            # stashed to HBM for backward):
+            # 1. attention half — text proj + pre-norm + MHA against the
+            #    batch-shared kv packed block-diagonally (all dense
+            #    [R, H] x [H, *] matmuls, no head loop);
+            # 2. pre-norm MLP half — the [B, T, 4H] hidden never exists.
+            kbd, vbd = _pack_shared_kv_blockdiag(p, image, num_heads,
+                                                 eps, F.attn_seg(Tk))
+            B_, T_ = text.shape[:2]
+            ap = p["attn"]
+            h2 = F.cross_attn_block_fused(
+                text.reshape(B_ * T_, -1),
+                p["text_proj"]["kernel"], p["text_proj"]["bias"],
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                ap["q"]["kernel"], ap["q"]["bias"], kbd, vbd,
+                ap["out"]["kernel"], ap["out"]["bias"], num_heads, Tk,
+                eps)
+            mp = p["mlp"]
+            out2 = F.prenorm_mlp_fused(
+                h2, mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                p["norm3"]["scale"], p["norm3"]["bias"], eps)
+            return out2.reshape(B_, T_, -1)
     t = L.linear(p["text_proj"], text)
     im = L.linear(p["image_proj"], image)
     # kv stays at batch 1: L.mha projects k/v once and broadcasts inside
@@ -218,6 +248,32 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
     h = q + attn
     out = h + L.mlp(p["mlp"], L.layer_norm(p["norm3"], h, eps), act="gelu")
     return out
+
+
+def _pack_shared_kv_blockdiag(p: Params, image: jnp.ndarray,
+                              num_heads: int, eps: float, seg: int):
+    """kv side of the fused cross-modal attention: project + norm the
+    [1, Tk, image_dim] shared pseudo-image ONCE (tiny, stays in XLA),
+    then pack per-head K^T / V into block-diagonal [H, heads*seg] /
+    [heads*seg, H] mats so the kernel's attention is two dense matmuls.
+    Differentiable — grads flow back to image_proj/norm1/k/v through the
+    pack."""
+    im = L.linear(p["image_proj"], image)
+    kv = L.layer_norm(p["norm1"], im, eps)
+    k = L.linear(p["attn"]["k"], kv)[0]  # [Tk, H]
+    v = L.linear(p["attn"]["v"], kv)[0]
+    Tk, H = k.shape
+    hd = H // num_heads
+    pad = seg - Tk
+    kT = jnp.transpose(k.reshape(Tk, num_heads, hd), (1, 2, 0))
+    kT = jnp.pad(kT, ((0, 0), (0, 0), (0, pad)))  # [heads, hd, seg]
+    vp = jnp.transpose(v.reshape(Tk, num_heads, hd), (1, 0, 2))
+    vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))  # [heads, seg, hd]
+    from jax.scipy.linalg import block_diag
+
+    kbd = block_diag(*[kT[h] for h in range(num_heads)])
+    vbd = block_diag(*[vp[h] for h in range(num_heads)])
+    return kbd, vbd
 
 
 # ---------------------------------------------------------------------------
