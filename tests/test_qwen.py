@@ -751,3 +751,78 @@ def test_extract_batch_dynamic_grouping(converted):
     singles = [ex.extract_context_from_image(im) for im in imgs]
     assert batched == singles, (batched, singles)
     assert all(s for s in batched)
+
+
+def test_kv_int8_roundtrip_error_bound():
+    """quantize_kv_rows: symmetric per-row absmax int8 — roundtrip error
+    <= amax/254 per element (half an int8 step at the row's scale)."""
+    rng = np.random.default_rng(21)
+    rows = jnp.asarray(rng.normal(size=(3, 5, 2, 16)) * 4.0, jnp.float32)
+    q, scale = QM.quantize_kv_rows(rows)
+    assert q.dtype == jnp.int8 and scale.shape == rows.shape[:-1]
+    deq = QM.dequantize_kv(q, scale, jnp.float32)
+    amax = np.max(np.abs(np.asarray(rows)), axis=-1, keepdims=True)
+    err = np.abs(np.asarray(deq) - np.asarray(rows))
+    assert (err <= amax / 254.0 + 1e-7).all()
+    # zero rows stay exactly zero (scale guard)
+    qz, sz = QM.quantize_kv_rows(jnp.zeros((1, 2, 1, 8)))
+    assert np.asarray(QM.dequantize_kv(qz, sz, jnp.float32)).sum() == 0.0
+
+
+def test_generate_int8_kv_cache(converted):
+    """kv_bits=8: the decode loop runs end-to-end on the int8 cache,
+    prefill next-token logits stay within quantization tolerance of the
+    bf16-cache logits, and the chunked-prefill merge (which must also
+    carry the scale planes) is token-identical to unchunked int8."""
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    vcfg = cfg.vision
+    rng = np.random.default_rng(17)
+    in_dim = 3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    grid = (1, 8, 8)
+    visions = [QP.vision_inputs_from_patches(
+        rng.normal(size=(64, in_dim)).astype(np.float32), grid, vcfg)
+        for _ in range(3)]
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4, 5],
+                     np.int64)
+
+    gen16 = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32)
+    gen8 = QwenVLGenerator(params, cfg, max_len=128, dtype=jnp.float32,
+                           kv_bits=8)
+    out16 = gen16.generate_batch_from_ids(ids, visions, max_new_tokens=6)
+    out8 = gen8.generate_batch_from_ids(ids, visions, max_new_tokens=6)
+    assert len(out8) == len(out16) == 3
+    assert all(len(o) <= 6 for o in out8)
+
+    # chunked-prefill merge carries the scale planes: token-identical
+    out8_chunked = gen8.generate_batch_from_ids(
+        ids, visions, max_new_tokens=6, prefill_chunk=2)
+    assert out8_chunked == out8, (out8_chunked, out8)
+
+    # prefill logits tolerance: int8 KV perturbs attention by O(1/254)
+    # per row; next-token logits must stay close to the bf16-cache path
+    import jax
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    tparams = params["text"]
+    T = len(ids) - n_vis + n_vis  # full prompt length
+    embeds = tparams["embed_tokens"][jnp.asarray(ids)][None]
+    pos = jnp.broadcast_to(jnp.arange(T)[None, None], (3, 1, T))
+    mask = jnp.where(
+        jnp.tril(jnp.ones((T, T), bool))[None, None], 0.0, -3.4e38)
+    logits_fp, _ = QM.text_forward(tparams, embeds.astype(jnp.float32),
+                                   pos, cfg.text, mask,
+                                   QM.init_kv_cache(cfg.text, 1, T,
+                                                    jnp.float32),
+                                   jnp.int32(0), last_only=True)
+    logits_q, _ = QM.text_forward(tparams, embeds.astype(jnp.float32),
+                                  pos, cfg.text, mask,
+                                  QM.init_kv_cache(cfg.text, 1, T,
+                                                   jnp.float32,
+                                                   quantized=True),
+                                  jnp.int32(0), last_only=True)
+    scale = float(np.std(np.asarray(logits_fp)))
+    dev = float(np.max(np.abs(np.asarray(logits_q - logits_fp))))
+    assert dev < 0.1 * scale, (dev, scale)

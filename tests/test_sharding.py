@@ -343,3 +343,36 @@ def test_zero1_state_sharding_matches_unsharded(setup):
                 leaf.shape, spec, leaf.sharding)
             n_sharded += 1
     assert n_sharded >= 4  # adam mu+nu over several adapter leaves
+
+
+def test_orbax_async_save_matches_sync(tmp_path, setup):
+    """AsyncTrainStateSaver writes the identical on-disk state: training
+    continues while orbax's background threads do the D2H + writes, and
+    restore_train_state reads it back leaf-for-leaf equal to a
+    synchronous save of the same state."""
+    cfg, acfg, params, batch = setup
+    from vlm_clip_tpu.train import checkpoint as ckpt
+
+    tx = optax.adam(1e-3)
+    state = init_train_state(jax.random.PRNGKey(4), cfg, acfg, tx,
+                             clip_params=jax.tree.map(jnp.array, params))
+    step = make_m_train_step(cfg, acfg, tx, FP32)
+    state, _ = step(state, batch)
+
+    saver = ckpt.AsyncTrainStateSaver()
+    saver.save(str(tmp_path / "async_ck"), state)
+    # training continues while the save is in flight
+    cont, _ = step(state, batch)
+    saver.wait()
+    ckpt.save_train_state(str(tmp_path / "sync_ck"), state)
+
+    template = init_train_state(jax.random.PRNGKey(5), cfg, acfg, tx,
+                                clip_params=jax.tree.map(jnp.array, params))
+    r_async = ckpt.restore_train_state(str(tmp_path / "async_ck"), template)
+    r_sync = ckpt.restore_train_state(str(tmp_path / "sync_ck"), template)
+    for a, b in zip(jax.tree.leaves(r_async._asdict()),
+                    jax.tree.leaves(r_sync._asdict())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the in-flight save captured the pre-continue state, not `cont`
+    assert int(r_async.step) == 1 and int(cont.step) == 2
+    saver.close()

@@ -41,6 +41,8 @@ def main(argv=None):
                    help="run vision+prefill in sub-batches of this size "
                         "feeding one full-batch decode loop — caps the "
                         "activation memory that OOMs B=128 (~19 GB)")
+    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16),
+                   help="8 = int8 KV cache (halves decode cache reads)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -73,7 +75,7 @@ def main(argv=None):
         vision = fold_qwen_patch_normalization(vision, cfg.vision)
     vision = quantize_qwen_params({"vision": vision}, 8)["vision"]
     gen = QwenVLGenerator({"text": text, "vision": vision}, cfg,
-                          max_len=args.max_len)
+                          max_len=args.max_len, kv_bits=args.kv_bits)
 
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (args.size, args.size, 3), np.uint8)
@@ -111,7 +113,8 @@ def main(argv=None):
              else sum(len(o) for o in out) / len(out))
     dt = min(times)
     per_img = dt / args.batch
-    print(f"bits={bits} B={args.batch} u8={args.u8}: {dt:.2f} s/call -> "
+    print(f"bits={bits} B={args.batch} u8={args.u8} "
+          f"kv={args.kv_bits}: {dt:.2f} s/call -> "
           f"{per_img:.2f} s/image ({n_tok:.0f} tokens), "
           f"{3600/per_img:.0f} contexts/hour/chip")
 

@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gateup decode GEMVs (the extractor's "
                         "default layout)")
+    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16),
+                   help="8 = int8 KV cache (per-row scales; halves the "
+                        "per-step cache read that bounds batched decode)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -146,7 +149,8 @@ def main(argv=None):
                           max_len=args.max_len)
 
     B, T = args.batch, args.prompt_len
-    cache = init_kv_cache(tcfg, B, args.max_len, jnp.bfloat16)
+    cache = init_kv_cache(tcfg, B, args.max_len, jnp.bfloat16,
+                          quantized=args.kv_bits == 8)
     # pretend a prefill of T tokens already happened
     cache = cache._replace(length=jnp.int32(T))
     logits0 = jnp.asarray(
@@ -172,7 +176,8 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     per_tok = dt / args.new
-    print(f"bits={bits} head_bits={head_bits} B={B} fused={args.fused}: "
+    print(f"bits={bits} head_bits={head_bits} B={B} fused={args.fused} "
+          f"kv_bits={args.kv_bits}: "
           f"{dt*1e3:.1f} ms for {args.new} tokens -> "
           f"{per_tok*1e3:.2f} ms/token, "
           f"{B/per_tok:.1f} tok/s aggregate")

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qwen-weights", default=None,
                    help="dir with Qwen2.5-VL safetensors + tokenizer.json "
                         "for --vlm-backend=qwen")
+    p.add_argument("--qwen-kv-bits", type=int, default=16,
+                   choices=(8, 16),
+                   help="8 = int8 KV cache (halves decode cache reads)")
     p.add_argument("--qwen-quant-bits", default="8h4",
                    choices=["0", "4", "8", "8h4", "mixed"],
                    help="8h4 = int8 layers + int4 untied head (speed "
@@ -63,7 +66,8 @@ def main(argv=None) -> None:
     tokenizer = make_tokenizer(cfg)
     extractor = make_extractor(args.vlm_backend, clip_params, cfg,
                                tokenizer, qwen_weights=args.qwen_weights,
-                               qwen_quant_bits=args.qwen_quant_bits)
+                               qwen_quant_bits=args.qwen_quant_bits,
+                               qwen_kv_bits=args.qwen_kv_bits)
 
     samples = scan_class_folders(Path(args.data_dir))
     texts, feats = {}, {}

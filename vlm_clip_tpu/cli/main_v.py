@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qwen-weights", default=None,
                    help="dir with Qwen2.5-VL safetensors + tokenizer.json "
                         "for --vlm-backend=qwen")
+    p.add_argument("--qwen-kv-bits", type=int, default=16,
+                   choices=(8, 16),
+                   help="8 = int8 KV cache for context extraction "
+                        "(halves decode cache reads; opt-in quality "
+                        "trade)")
     p.add_argument("--qwen-quant-bits", default="8h4",
                    choices=["0", "4", "8", "8h4", "mixed"],
                    help="weight-only quantization for the VLM (0=fp; "
@@ -50,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_extractor(backend: str, clip_params, cfg, tokenizer,
-                   cache_dir=None, qwen_weights=None, qwen_quant_bits=8):
+                   cache_dir=None, qwen_weights=None, qwen_quant_bits=8,
+                   qwen_kv_bits=16):
     if backend == "none":
         return None
     if backend == "stub":
@@ -70,7 +76,7 @@ def make_extractor(backend: str, clip_params, cfg, tokenizer,
             qwen_quant_bits = int(qwen_quant_bits) or None
         return QwenVLContextExtractor(
             clip_params, cfg, tokenizer, weights_path=qwen_weights,
-            quant_bits=qwen_quant_bits)
+            quant_bits=qwen_quant_bits, kv_bits=qwen_kv_bits)
     raise ValueError(backend)
 
 
@@ -100,7 +106,8 @@ def main(argv=None) -> None:
     image_size = args.image_size or cfg.vision.image_size
     extractor = make_extractor(args.vlm_backend, clip_params, cfg,
                                tokenizer, args.context_cache_dir,
-                               args.qwen_weights, args.qwen_quant_bits)
+                               args.qwen_weights, args.qwen_quant_bits,
+                               args.qwen_kv_bits)
 
     model = EnhancedCLIPAdapterV(
         clip_params, cfg, tokenizer, alpha=args.alpha, beta=args.beta,

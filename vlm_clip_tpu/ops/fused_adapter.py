@@ -39,7 +39,16 @@ ROW_TILE = 256
 
 
 def fused_enabled() -> bool:
-    return jax.default_backend() == "tpu"
+    """Auto-dispatch gate for the Pallas adapter kernels.
+
+    Single TPU device only: under multi-chip GSPMD a pallas_call has no
+    partitioning rule, so XLA replicates it — all-gathering the
+    batch-sharded activations onto every chip, a silent perf cliff.
+    Sharded meshes take the jnp path (identical semantics); wrapping
+    the kernels in shard_map over the data axis is the future
+    single-kernel-per-shard route.
+    """
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _interpret() -> bool:

@@ -256,8 +256,9 @@ class PipelineGenerator:
             def local_scan(act_in, cos_m, sin_m, mask, ck_m, cv_m, idx):
                 def body(h, inp):
                     lp, k_l, v_l = inp
-                    h, (nk, nv) = text_decoder_layer(
-                        lp, h, cos_m, sin_m, mask, cfg, (k_l, v_l), idx)
+                    h, (nk, nv, _, _) = text_decoder_layer(
+                        lp, h, cos_m, sin_m, mask, cfg,
+                        (k_l, v_l, None, None), idx)
                     return h, (nk, nv)
                 return jax.lax.scan(body, act_in, (layers, ck_m, cv_m))
 

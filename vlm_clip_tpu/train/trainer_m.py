@@ -58,6 +58,7 @@ class CLIPAdapterTrainer:
         self.output_dir = output_dir
         self.freeze_clip = freeze_clip
         self.device_prefetch = device_prefetch
+        self._async_saver = None  # lazy AsyncTrainStateSaver
         os.makedirs(output_dir, exist_ok=True)
 
         total_steps = len(train_dataloader) * num_epochs_hint
@@ -148,8 +149,23 @@ class CLIPAdapterTrainer:
         params = ckpt.load_adapter_weights(path, self.acfg)
         self.state = self.state._replace(adapter_params=params)
 
-    def save_full_state(self, path: str) -> None:
-        ckpt.save_train_state(path, self.state)
+    def save_full_state(self, path: str, wait: bool = True) -> None:
+        """Orbax full-state save. ``wait=False`` schedules an ASYNC save
+        (orbax background threads do the D2H + writes while training
+        continues — seconds per save for large full-fine-tune states);
+        a later save or :meth:`finish_saves` joins it."""
+        if wait:
+            ckpt.save_train_state(path, self.state)
+            return
+        if self._async_saver is None:
+            self._async_saver = ckpt.AsyncTrainStateSaver()
+        self._async_saver.save(path, self.state)
+
+    def finish_saves(self) -> None:
+        """Block until any in-flight async save has fully written."""
+        if self._async_saver is not None:
+            self._async_saver.wait()
 
     def restore_full_state(self, path: str) -> None:
+        self.finish_saves()
         self.state = ckpt.restore_train_state(path, self.state)

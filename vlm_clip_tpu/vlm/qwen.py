@@ -133,7 +133,7 @@ class QwenVLGenerator:
     """
 
     def __init__(self, params: Dict, cfg: QwenVLConfig,
-                 max_len: int = 1536, dtype=None):
+                 max_len: int = 1536, dtype=None, kv_bits: int = 16):
         import functools
 
         import jax
@@ -143,6 +143,12 @@ class QwenVLGenerator:
         self.cfg = cfg
         self.max_len = max_len
         self.dtype = dtype or jnp.bfloat16
+        if kv_bits not in (8, 16):
+            raise ValueError(f"kv_bits must be 8 or 16, got {kv_bits}")
+        # int8 KV cache: halves the per-step cache read that bounds
+        # batched decode (BENCH.md round 3); per-row absmax scales,
+        # dequant fused into the attention einsums
+        self.kv_quantized = kv_bits == 8
 
         tcfg = cfg.text
 
@@ -279,15 +285,22 @@ class QwenVLGenerator:
                                   uniform_window=uw)
 
         @functools.partial(jax.jit, donate_argnames=("big",))
-        def merge_cache(big, sub_k, sub_v, offset):
-            """Write a prefill chunk's KV rows into the full-batch cache
-            at batch offset (traced scalar — one compile for all
-            chunks). Donated: XLA updates the big cache in place."""
-            k = jax.lax.dynamic_update_slice(big.k, sub_k,
+        def merge_cache(big, sub, offset):
+            """Write a prefill chunk's KV rows (and scales, when the
+            cache is int8) into the full-batch cache at batch offset
+            (traced scalar — one compile for all chunks). Donated: XLA
+            updates the big cache in place."""
+            k = jax.lax.dynamic_update_slice(big.k, sub.k,
                                              (0, offset, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(big.v, sub_v,
+            v = jax.lax.dynamic_update_slice(big.v, sub.v,
                                              (0, offset, 0, 0, 0))
-            return KVCache(k, v, big.length)
+            if big.k_scale is None:
+                return KVCache(k, v, big.length)
+            ks = jax.lax.dynamic_update_slice(big.k_scale, sub.k_scale,
+                                              (0, offset, 0, 0))
+            vs = jax.lax.dynamic_update_slice(big.v_scale, sub.v_scale,
+                                              (0, offset, 0, 0))
+            return KVCache(k, v, big.length, ks, vs)
 
         self._embed_prefill = embed_prefill
         self._merge_cache = merge_cache
@@ -474,7 +487,7 @@ class QwenVLGenerator:
 
         def run_prefill(chunk_patches, n_rows):
             cache = init_kv_cache(self.cfg.text, n_rows, self.max_len,
-                                  self.dtype)
+                                  self.dtype, self.kv_quantized)
             pos3 = np.broadcast_to(pos_p[:, None, :], (3, n_rows, T_p))
             return self._embed_prefill(
                 self.params, jnp.asarray(chunk_patches), jrope, wmask,
@@ -486,15 +499,15 @@ class QwenVLGenerator:
             logits, cache = run_prefill(patches, B)
         else:
             cache = init_kv_cache(self.cfg.text, B, self.max_len,
-                                  self.dtype)
+                                  self.dtype, self.kv_quantized)
             logit_parts = []
             for off in range(0, B, prefill_chunk):
                 sub = patches[off:off + prefill_chunk]
                 logits_c, sub_cache = run_prefill(sub, len(sub))
-                cache = self._merge_cache(cache, sub_cache.k,
-                                          sub_cache.v, jnp.int32(off))
+                cache = self._merge_cache(cache, sub_cache,
+                                          jnp.int32(off))
                 logit_parts.append(logits_c)
-            cache = KVCache(cache.k, cache.v, cache.length + T)
+            cache = cache._replace(length=cache.length + T)
             logits = jnp.concatenate(logit_parts, axis=0)
         return self._run_decode_loop(logits, cache, T, delta,
                                      max_new_tokens, sampling, seed, ids)
@@ -549,7 +562,8 @@ class QwenVLGenerator:
             raise ValueError(
                 f"padded prompt ({len(ids_p)} tokens) exceeds the KV "
                 f"cache max_len ({self.max_len})")
-        cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype)
+        cache = init_kv_cache(self.cfg.text, 1, self.max_len, self.dtype,
+                              self.kv_quantized)
         img_slots = np.nonzero(ids == self.cfg.image_token_id)[0]
         rev, img_slots = self._pad_slots(vision, img_slots)
         logits, cache = self._embed_prefill(
@@ -583,7 +597,8 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
                  pad_to_ladder=None,
                  prefill_chunk: Optional[int] = None,
                  min_pixels: Optional[int] = None,
-                 max_pixels: Optional[int] = None):
+                 max_pixels: Optional[int] = None,
+                 kv_bits: int = 16):
         super().__init__(clip_params, clip_cfg, clip_tokenizer, policy)
         if not weights_path or not os.path.isdir(weights_path):
             raise FileNotFoundError(
@@ -627,7 +642,7 @@ class QwenVLContextExtractor(ClipTextEncoderMixin):
         # 16 GB HBM (the old 1536 default OOM'd at B=64: 16.4/15.75 GB;
         # B=64 at 512 rows measured 39.7k contexts/hour, BENCH.md r3).
         self.generator = QwenVLGenerator(params, self.qwen_cfg,
-                                         max_len=max_len)
+                                         max_len=max_len, kv_bits=kv_bits)
         self.generator.u8_patches = True
         tok_json = os.path.join(weights_path, "tokenizer.json")
         self.qwen_tokenizer = QwenBPETokenizer(tok_json)

@@ -177,33 +177,85 @@ class KVCache(NamedTuple):
     k: jnp.ndarray  # [L, B, maxlen, kv_heads, head_dim]
     v: jnp.ndarray
     length: jnp.ndarray  # [] int32 — tokens filled
+    # int8 cache (init_kv_cache(quantized=True)): k/v are int8 and these
+    # hold the per-(layer, row, kv-head) symmetric scales [L, B, S, kv].
+    # None (the default) = unquantized cache; None is a static pytree
+    # leaf, so jitted decode loops carry either layout unchanged.
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(cfg: QwenTextConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if quantized:
+        # int8 rows + per-row-per-head scales: halves the decode-step
+        # cache read (the measured B>=32 decode bottleneck — KV streams
+        # at ~535 GB/s near the HBM floor, BENCH.md round 2); the
+        # convert*scale dequant fuses into the attention einsum's
+        # operand load exactly like the int8 weight GEMMs (~600 GB/s).
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((), jnp.int32),
+                       jnp.ones(shape[:-1], jnp.float32),
+                       jnp.ones(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((), jnp.int32))
 
 
-def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads):
+def quantize_kv_rows(rows: jnp.ndarray):
+    """[..., d] -> (int8 rows, fp32 scales [...]): symmetric per-row
+    absmax/127 quantization (post-rope keys / values)."""
+    r32 = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(r32), axis=-1)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(r32 / scale[..., None]), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(rows_i8: jnp.ndarray, scale: jnp.ndarray, dtype):
+    """Lazy int8 -> ``dtype`` dequant; under jit the convert+scale fuses
+    into the consuming einsum's operand load (never materialized)."""
+    return (rows_i8.astype(jnp.float32)
+            * scale[..., None]).astype(dtype)
+
+
+def _gqa_attention(q, k, v, mask, num_heads, num_kv_heads,
+                   k_scale=None, v_scale=None):
     """q [B,T,h,d]; k,v [B,S,kv,d]; mask additive [B|1,1,T,S].
 
     Grouped einsum — NO ``jnp.repeat`` of K/V to full head count: the
     repeat materialized rep× the KV cache in HBM every decode step
     (at B=16, maxlen=512, rep=8 that is ~2.4 GB/step across the 36
     layers and dominated batched decode; measured in BENCH.md round 2).
+
+    int8 cache (``k_scale``/``v_scale`` [B,S,kv] set): k/v stream as
+    int8 with a PURE convert in the dot operand (the producer pattern
+    XLA fuses into the operand load, like the int8 weight GEMMs), and
+    the scales fold ALGEBRAICALLY outside the dots — k scales into the
+    scores (per-source-column multiply), v scales into the probs before
+    the PV einsum. Dequantizing k/v ahead of the einsum instead defeats
+    the fusion and materializes a full-size cache copy per step
+    (measured -18% at B=64, BENCH.md round 3).
     """
     B, T, h, d = q.shape
     rep = h // num_kv_heads
     qg = q.reshape(B, T, num_kv_heads, rep, d)
-    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k,
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k.astype(q.dtype),
                         preferred_element_type=jnp.float32) * (d ** -0.5)
+    if k_scale is not None:
+        # [B,S,kv] -> [B,kv,1,1,S] over scores [b,k,r,t,s]
+        scores = scores * jnp.transpose(
+            k_scale, (0, 2, 1))[:, :, None, None, :]
     if mask is not None:
         # [B|1, 1, T, S] -> broadcast over (kv, rep)
         scores = scores + mask.astype(jnp.float32)[:, :, None]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bkrts,bskd->btkrd", probs.astype(q.dtype), v,
+    if v_scale is not None:
+        probs = probs * jnp.transpose(
+            v_scale, (0, 2, 1))[:, :, None, None, :]
+    out = jnp.einsum("bkrts,bskd->btkrd", probs.astype(q.dtype),
+                     v.astype(q.dtype),
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.reshape(B, T, h * d)
 
@@ -218,7 +270,8 @@ _DENSE_CACHE_ROUTE_MAX_BYTES = 2 * 1024 * 1024
 
 
 def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
-                          cache_index, num_heads, num_kv_heads):
+                          cache_index, num_heads, num_kv_heads,
+                          k_scale=None, v_scale=None):
     """Cached attention WITHOUT writing the current rows first.
 
     q [B,T,h,d]; k_old/v_old [B,S,kv,d] are the cache rows as of BEFORE
@@ -247,17 +300,24 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
                           neg, mask.astype(jnp.float32))
     mask_self = jax.lax.dynamic_slice_in_dim(
         mask.astype(jnp.float32), cache_index, T, axis=3)
-    s_past = jnp.einsum("btkrd,bskd->bkrts", qg, k_old,
+    s_past = jnp.einsum("btkrd,bskd->bkrts", qg, k_old.astype(q.dtype),
                         preferred_element_type=jnp.float32) * (d ** -0.5)
+    if k_scale is not None:  # int8 cache: fold k scales into the scores
+        s_past = s_past * jnp.transpose(
+            k_scale, (0, 2, 1))[:, :, None, None, :]
     s_past = s_past + mask_past[:, :, None]
     s_self = jnp.einsum("btkrd,bskd->bkrts", qg, k_cur,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
     s_self = s_self + mask_self[:, :, None]
     s = jnp.concatenate([s_past, s_self], axis=-1)
     probs = jax.nn.softmax(s, axis=-1)
-    p_past = probs[..., :S].astype(q.dtype)
+    p_past = probs[..., :S]
+    if v_scale is not None:  # fold v scales into the probs
+        p_past = p_past * jnp.transpose(
+            v_scale, (0, 2, 1))[:, :, None, None, :]
+    p_past = p_past.astype(q.dtype)
     p_self = probs[..., S:].astype(q.dtype)
-    out = jnp.einsum("bkrts,bskd->btkrd", p_past, v_old,
+    out = jnp.einsum("bkrts,bskd->btkrd", p_past, v_old.astype(q.dtype),
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("bkrts,bskd->btkrd", p_self, v_cur,
                            preferred_element_type=jnp.float32)
@@ -297,12 +357,25 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, maxlen, kv, d] — rows >= cache_index stale
-        # cache-dtype round trip BEFORE attention: identical numerics to
-        # the old write-then-read path (the cache may be bf16 while q is
-        # fp32 in tests)
-        k_rows = k.astype(ck.dtype)
-        v_rows = v.astype(cv.dtype)
+        # [B, maxlen, kv, d] — rows >= cache_index stale
+        ck, cv, cks, cvs = cache_kv
+        quant = cks is not None
+        if quant:
+            k_rows, k_sc = quantize_kv_rows(k)
+            v_rows, v_sc = quantize_kv_rows(v)
+            # attention sees the ROUND-TRIPPED current rows — identical
+            # numerics to reading them back from the cache next step
+            k_cur = dequantize_kv(k_rows, k_sc, q.dtype)
+            v_cur = dequantize_kv(v_rows, v_sc, q.dtype)
+        else:
+            # cache-dtype round trip BEFORE attention: identical
+            # numerics to the old write-then-read path (the cache may
+            # be bf16 while q is fp32 in tests)
+            k_rows = k.astype(ck.dtype)
+            v_rows = v.astype(cv.dtype)
+            k_sc = v_sc = None
+            k_cur = k_rows.astype(q.dtype)
+            v_cur = v_rows.astype(q.dtype)
         if ck.size * ck.dtype.itemsize <= _DENSE_CACHE_ROUTE_MAX_BYTES:
             # Tiny cache (B=1/small-B serving): write-then-attend. The
             # per-layer slice copy this forces is well under the ~8 us
@@ -313,17 +386,24 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
                                                (0, cache_index, 0, 0))
             cv2 = jax.lax.dynamic_update_slice(cv, v_rows,
                                                (0, cache_index, 0, 0))
-            attn = _gqa_attention(q, ck2.astype(q.dtype),
-                                  cv2.astype(q.dtype), mask,
-                                  cfg.num_heads, cfg.num_kv_heads)
+            if quant:
+                cks2 = jax.lax.dynamic_update_slice(
+                    cks, k_sc, (0, cache_index, 0))
+                cvs2 = jax.lax.dynamic_update_slice(
+                    cvs, v_sc, (0, cache_index, 0))
+            else:
+                cks2 = cvs2 = None
+            attn = _gqa_attention(q, ck2, cv2, mask,
+                                  cfg.num_heads, cfg.num_kv_heads,
+                                  k_scale=cks2, v_scale=cvs2)
         else:
             attn = _gqa_attention_cached(
-                q, ck.astype(q.dtype), cv.astype(q.dtype),
-                k_rows.astype(q.dtype), v_rows.astype(q.dtype), mask,
-                cache_index, cfg.num_heads, cfg.num_kv_heads)
-        new_cache = (k_rows, v_rows)
+                q, ck, cv, k_cur, v_cur, mask,
+                cache_index, cfg.num_heads, cfg.num_kv_heads,
+                k_scale=cks, v_scale=cvs)
+        new_cache = (k_rows, v_rows, k_sc, v_sc)
     else:
-        new_cache = (k, v)
+        new_cache = (k, v, None, None)
         attn = _gqa_attention(q, k, v, mask, cfg.num_heads,
                               cfg.num_kv_heads)
     x = x + linear(p["attn"]["o"], attn)
@@ -367,11 +447,16 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
+        quant = cache.k_scale is not None
+        xs = (params["layers"], cache.k, cache.v) \
+            + ((cache.k_scale, cache.v_scale) if quant else ())
+
         def body(h, inputs):
-            lp, ck, cv = inputs
-            h, (nk, nv) = text_decoder_layer(lp, h, cos, sin, mask, cfg,
-                                             (ck, cv), cache_index)
-            return h, (nk, nv)
+            lp, ck, cv = inputs[:3]
+            cks, cvs = inputs[3:] if quant else (None, None)
+            h, rows = text_decoder_layer(lp, h, cos, sin, mask, cfg,
+                                         (ck, cv, cks, cvs), cache_index)
+            return h, rows if quant else rows[:2]
 
         # ys are just the current rows [L, B, T, kv, d]; ONE row write
         # on the full stacked cache afterwards. Inside the jitted decode
@@ -379,13 +464,22 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         # dynamic_update_slice in place — the old contract (each layer
         # returns its full updated cache, scan stacks them) allocated
         # and wrote a fresh full-size cache every step.
-        x, (nk, nv) = jax.lax.scan(body, x,
-                                   (params["layers"], cache.k, cache.v))
+        x, rows = jax.lax.scan(body, x, xs)
+        nk, nv = rows[:2]
         new_k = jax.lax.dynamic_update_slice(
             cache.k, nk, (0, 0, cache_index, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
             cache.v, nv, (0, 0, cache_index, 0, 0))
-        new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
+        if quant:
+            nks, nvs = rows[2:]
+            new_ks = jax.lax.dynamic_update_slice(
+                cache.k_scale, nks, (0, 0, cache_index, 0))
+            new_vs = jax.lax.dynamic_update_slice(
+                cache.v_scale, nvs, (0, 0, cache_index, 0))
+            new_cache = KVCache(new_k, new_v, cache.length + x.shape[1],
+                                new_ks, new_vs)
+        else:
+            new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
 
     if last_index is not None:
         x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
