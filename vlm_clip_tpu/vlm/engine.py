@@ -1,0 +1,362 @@
+"""Continuous-batching generation engine for the JAX Qwen2.5-VL.
+
+The reference serves VLM context extraction one ``generate()`` call at a
+time (model_v.py:108-118): a fixed batch runs until its LAST row
+finishes, so every early-finishing row idles while stragglers decode —
+and new work waits for the whole batch to drain. This engine keeps a
+fixed pool of ``n_slots`` decode rows live on device (fixed shapes —
+XLA compiles exactly one step function) and treats each row as an
+independent slot, vLLM-style:
+
+- every ``sync_steps`` decode steps the host syncs ONCE (a [n, k] token
+  block plus four [n] state vectors — one tunnel RTT per chunk, not per
+  token, extending the round-2 while_loop design to heterogeneous rows);
+- rows that hit EOS / their token budget are harvested and their slots
+  immediately re-prefilled from the request queue (grouped into
+  ``refill_chunks``-sized sub-batches that share one vision+prefill
+  dispatch, exactly like ``generate_batch_from_ids(prefill_chunk=...)``);
+- decode state is PER ROW: each slot writes its fresh KV at its own
+  cache depth and its attention mask admits ``cols <= depth`` — the
+  per-row ``cache_index`` route in qwen_model.text_forward.
+
+Output parity: a request's tokens are identical to
+``QwenVLGenerator.generate_from_ids`` under GREEDY (same prefill, same
+per-step attended set, same eos-trim contract) — proven in
+tests/test_engine.py. Under sampled configs the chains differ only by
+RNG stream assignment (one engine key vs one key per generate call).
+
+Scheduling is deliberately host-side and synchronous: TPU decode is
+weight-streaming-bound, so the only decisions that matter — when to
+refill, how large a prefill group — happen at chunk granularity, and a
+Python loop at 6 Hz is nowhere near the bottleneck. Wasted work is
+bounded: a finished-but-unharvested row decodes garbage for at most the
+remainder of its chunk (its outputs are masked from recording).
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .qwen_model import KVCache, init_kv_cache
+from .qwen_process import VisionInputs, rope_index_single
+from .sampling import GREEDY, SamplingConfig, sample_token
+
+
+class _Pending:
+    __slots__ = ("req_id", "ids", "vision", "max_new", "pad_text_to",
+                 "group_key")
+
+    def __init__(self, req_id, ids, vision, max_new, pad_text_to):
+        self.req_id = req_id
+        self.ids = ids
+        self.vision = vision
+        self.max_new = max_new
+        self.pad_text_to = pad_text_to
+        # requests sharing a layout (same prompt bytes, same patch
+        # shapes/grid) can share one batched vision+prefill dispatch
+        self.group_key = (ids.tobytes(), vision.grid,
+                          vision.patches.shape, pad_text_to)
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over a ``QwenVLGenerator``.
+
+    ``n_slots``: decode rows resident on device (one KV cache of
+    [L, n_slots, max_len, kv, d]). ``sync_steps``: decode steps per
+    host sync. ``refill_chunks``: descending prefill group sizes; each
+    size is one (cached) compile of the vision+prefill dispatch.
+    """
+
+    def __init__(self, gen, n_slots: int = 32, sync_steps: int = 16,
+                 sampling: Optional[SamplingConfig] = None,
+                 seed: int = 0,
+                 refill_chunks: Tuple[int, ...] = (8, 4, 2, 1)):
+        import jax
+        import jax.numpy as jnp
+
+        self.gen = gen
+        self.cfg = gen.cfg
+        self.n_slots = n_slots
+        self.sync_steps = sync_steps
+        self.scfg = sampling or GREEDY
+        self.refill_chunks = tuple(
+            c for c in sorted(set(refill_chunks), reverse=True)
+            if c <= n_slots) or (1,)
+        self._stops = (self.cfg.eos_token_id,) + tuple(self.scfg.extra_eos)
+
+        # --- device state -------------------------------------------------
+        self._key = jax.random.PRNGKey(seed)
+        self.cache = init_kv_cache(self.cfg.text, n_slots, gen.max_len,
+                                   gen.dtype, gen.kv_quantized)
+        self.tokens = jnp.zeros((n_slots,), jnp.int32)
+        self.pos = jnp.zeros((n_slots,), jnp.int32)
+        self.lengths = jnp.zeros((n_slots,), jnp.int32)
+        self.done = jnp.ones((n_slots,), bool)          # all free
+        self.remaining = jnp.zeros((n_slots,), jnp.int32)
+        pdim = self.cfg.text.vocab_size if self.scfg.needs_presence else 1
+        self.presence = jnp.zeros((n_slots, pdim), bool)
+
+        # --- host state ----------------------------------------------------
+        self._queue: "collections.deque[_Pending]" = collections.deque()
+        self._slot_req: List[Optional[int]] = [None] * n_slots
+        self._slot_toks: List[List[int]] = [[] for _ in range(n_slots)]
+        self._lengths_host = np.zeros((n_slots,), np.int64)
+        self._next_id = 0
+        self._finished: Dict[int, List[int]] = {}
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # jitted kernels
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        tcfg = cfg.text
+        gen = self.gen
+        stops = self._stops
+        neg = jnp.float32(-3.4028235e38)
+
+        from .qwen_model import text_forward
+
+        def is_stop(tokens):
+            hit = tokens == jnp.int32(stops[0])
+            for e in stops[1:]:
+                hit = hit | (tokens == jnp.int32(e))
+            return hit
+
+        @functools.partial(
+            jax.jit, static_argnames=("k_steps", "scfg"),
+            donate_argnames=("cache", "tokens", "pos", "lengths", "done",
+                             "remaining", "presence"))
+        def steps(params, cache, tokens, pos, lengths, done, remaining,
+                  presence, key, k_steps, scfg):
+            """k fixed decode steps over every slot; done/free rows
+            compute garbage (discarded) — the price of one static shape.
+
+            Per-step contract mirrors the single-batch decode loop
+            (qwen.py decode_loop): the current token is recorded first
+            (eos/budget checked), then forwarded — its KV row lands at
+            depth ``lengths`` and it attends ``cols <= lengths``,
+            exactly decode_step_inner's write/mask indexing.
+            """
+            n = tokens.shape[0]
+            buf0 = jnp.full((n, k_steps), cfg.eos_token_id, jnp.int32)
+            cols = jnp.arange(cache.k.shape[2])
+
+            def body(i, st):
+                (cache, tokens, pos, lengths, done, remaining, presence,
+                 key, buf) = st
+                done = done | is_stop(tokens) | (remaining <= 0)
+                buf = buf.at[:, i].set(
+                    jnp.where(done, jnp.int32(cfg.eos_token_id), tokens))
+                rec = jnp.logical_not(done)
+                if scfg.needs_presence:
+                    presence = presence.at[jnp.arange(n), tokens].set(True)
+                remaining = remaining - rec
+
+                emb = params["embed_tokens"][tokens][:, None]
+                pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1))
+                mask = jnp.where(cols[None] <= lengths[:, None],
+                                 0.0, neg)[:, None, None, :]
+                logits, cache = text_forward(
+                    params, emb.astype(gen.dtype), pos3, tcfg, mask,
+                    cache, lengths)
+                key, sub = jax.random.split(key)
+                nxt = sample_token(logits[:, -1], presence, sub, scfg)
+                tokens = jnp.where(done, tokens, nxt)
+                pos = pos + rec
+                lengths = lengths + rec
+                return (cache, tokens, pos, lengths, done, remaining,
+                        presence, key, buf)
+
+            st = (cache, tokens, pos, lengths, done, remaining, presence,
+                  key, buf0)
+            st = jax.lax.fori_loop(0, k_steps, body, st)
+            return st
+
+        @functools.partial(
+            jax.jit, static_argnames=("scfg",),
+            donate_argnames=("cache", "tokens", "pos", "lengths", "done",
+                             "remaining", "presence"))
+        def place(cache, sub_cache, logits0, slots, tokens, pos, lengths,
+                  done, remaining, presence, prows, pos0, len0, rem0,
+                  key, scfg):
+            """Install a prefilled group into its slots: scatter the
+            sub-batch KV rows at the slot indices, sample each row's
+            first token from its prefill logits, reset per-slot state."""
+            k = cache.k.at[:, slots].set(sub_cache.k)
+            v = cache.v.at[:, slots].set(sub_cache.v)
+            if cache.k_scale is not None:
+                ks = cache.k_scale.at[:, slots].set(sub_cache.k_scale)
+                vs = cache.v_scale.at[:, slots].set(sub_cache.v_scale)
+                cache = KVCache(k, v, cache.length, ks, vs)
+            else:
+                cache = KVCache(k, v, cache.length)
+            presence = presence.at[slots].set(prows)
+            key, sub = jax.random.split(key)
+            tok0 = sample_token(logits0, presence[slots], sub, scfg)
+            tokens = tokens.at[slots].set(tok0)
+            pos = pos.at[slots].set(pos0)
+            lengths = lengths.at[slots].set(len0)
+            done = done.at[slots].set(False)
+            remaining = remaining.at[slots].set(rem0)
+            return (cache, tokens, pos, lengths, done, remaining,
+                    presence, key)
+
+        self._steps = steps
+        self._place = place
+
+    # ------------------------------------------------------------------
+    # host API
+    # ------------------------------------------------------------------
+    def submit(self, ids: np.ndarray, vision: VisionInputs,
+               max_new_tokens: int = 200,
+               pad_text_to: Optional[int] = None) -> int:
+        """Queue one request; returns its id (see poll()/flush())."""
+        T_p = pad_text_to or len(ids)
+        if T_p + max_new_tokens > self.gen.max_len:
+            raise ValueError(
+                f"prompt ({T_p} tokens) + max_new_tokens "
+                f"({max_new_tokens}) exceeds the engine KV max_len "
+                f"({self.gen.max_len})")
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append(_Pending(rid, np.asarray(ids), vision,
+                                    max_new_tokens, pad_text_to))
+        return rid
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + sum(
+            r is not None for r in self._slot_req)
+
+    def poll(self) -> Dict[int, List[int]]:
+        """One scheduling round: refill free slots, run one decode
+        chunk, harvest. Returns requests finished this round."""
+        self._refill()
+        if all(r is None for r in self._slot_req):
+            out, self._finished = self._finished, {}
+            return out
+        self._chunk()
+        out, self._finished = self._finished, {}
+        return out
+
+    def flush(self) -> Dict[int, List[int]]:
+        """Run until queue and slots drain; returns all results."""
+        results: Dict[int, List[int]] = {}
+        while self.pending:
+            results.update(self.poll())
+        return results
+
+    # ------------------------------------------------------------------
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is None]
+
+    def _refill(self):
+        import jax.numpy as jnp
+
+        free = self._free_slots()
+        while self._queue and free:
+            # group the queue head with same-layout requests behind it
+            head = self._queue[0]
+            group = [head]
+            cap = min(len(free), max(
+                (c for c in self.refill_chunks if c <= len(free)),
+                default=1))
+            for p in list(self._queue)[1:]:
+                if len(group) >= cap:
+                    break
+                if p.group_key == head.group_key:
+                    group.append(p)
+            # largest refill chunk that fits the group
+            size = next((c for c in self.refill_chunks
+                         if c <= len(group)), 1)
+            group = group[:size]
+            for p in group:
+                self._queue.remove(p)
+            self._install(group, free[:size])
+            free = free[size:]
+
+    def _install(self, group: List[_Pending], slots: List[int]):
+        """One batched vision+prefill for a same-layout group, scattered
+        into ``slots``. Mirrors generate_batch_from_ids's prep
+        (qwen.py:461-511) with the merge going to slot indices."""
+        import jax.numpy as jnp
+
+        gen = self.gen
+        cfg = self.cfg
+        head = group[0]
+        ids, v0 = head.ids, head.vision
+        pos, delta = rope_index_single(ids, v0.grid, cfg)
+        patches = np.stack([p.vision.patches for p in group])
+        wmask, fmask = gen._mask_args(v0)
+        T = len(ids)
+        img_slots = np.nonzero(ids == cfg.image_token_id)[0]
+        rev_np, img_slots = gen._pad_slots(v0, img_slots)
+        ids_p, pos_p = (gen._pad_text(ids, np.asarray(pos),
+                                      head.pad_text_to)
+                        if head.pad_text_to else (ids, np.asarray(pos)))
+        T_p = len(ids_p)
+        c = len(group)
+        sub_cache = init_kv_cache(cfg.text, c, gen.max_len, gen.dtype,
+                                  gen.kv_quantized)
+        pos3 = np.broadcast_to(pos_p[:, None, :], (3, c, T_p))
+        logits0, sub_cache = gen._embed_prefill(
+            gen.params, jnp.asarray(patches), jnp.asarray(v0.rot_pos_emb),
+            wmask, fmask, jnp.asarray(rev_np), jnp.asarray(ids_p),
+            jnp.asarray(img_slots), jnp.asarray(pos3), sub_cache,
+            jnp.int32(T - 1), uw=v0.uniform_window)
+
+        pdim = self.presence.shape[1]
+        prow = np.zeros((pdim,), bool)
+        if self.scfg.needs_presence:
+            prow[np.unique(ids)] = True
+        prows = np.broadcast_to(prow, (c, pdim))
+
+        (self.cache, self.tokens, self.pos, self.lengths, self.done,
+         self.remaining, self.presence, self._key) = self._place(
+            self.cache, sub_cache, logits0, jnp.asarray(slots, jnp.int32),
+            self.tokens, self.pos, self.lengths, self.done,
+            self.remaining, self.presence, jnp.asarray(prows),
+            jnp.full((c,), T + delta, jnp.int32),
+            jnp.full((c,), T, jnp.int32),
+            jnp.asarray([p.max_new for p in group], jnp.int32),
+            self._key, self.scfg)
+        for p, s in zip(group, slots):
+            self._slot_req[s] = p.req_id
+            self._slot_toks[s] = []
+            self._lengths_host[s] = T
+
+    def _chunk(self):
+        """One decode chunk + harvest (the single host sync)."""
+        (self.cache, self.tokens, self.pos, self.lengths, self.done,
+         self.remaining, self.presence, self._key, buf) = self._steps(
+            self.gen.params["text"], self.cache, self.tokens, self.pos,
+            self.lengths, self.done, self.remaining, self.presence,
+            self._key, self.sync_steps, self.scfg)
+
+        buf_h = np.asarray(buf)
+        lengths_h = np.asarray(self.lengths)
+        done_h = np.asarray(self.done)
+        remaining_h = np.asarray(self.remaining)
+        tokens_h = np.asarray(self.tokens)
+        stop_h = np.isin(tokens_h, np.asarray(self._stops))
+
+        for s, rid in enumerate(self._slot_req):
+            if rid is None:
+                continue
+            rec = int(lengths_h[s] - self._lengths_host[s])
+            self._lengths_host[s] = lengths_h[s]
+            if rec:
+                self._slot_toks[s].extend(buf_h[s, :rec].tolist())
+            if done_h[s] or stop_h[s] or remaining_h[s] <= 0:
+                self._finished[rid] = self._slot_toks[s]
+                self._slot_req[s] = None
+                self._slot_toks[s] = []

@@ -289,6 +289,12 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
     rebuilt per step (the scan-ys rebuild cost ~2x the cache's HBM
     traffic every decode step; BENCH.md round 2 "decode step memory
     accounting").
+
+    ``cache_index`` may be a per-row vector [B] (continuous-batching
+    decode: every slot sits at its own depth). Then T must be 1: the
+    stale-row cutoff broadcasts per row, and the self column is always
+    admitted (a T=1 token trivially attends itself), replacing the
+    scalar dynamic_slice of the caller's mask.
     """
     B, T, h, d = q.shape
     S = k_old.shape[1]
@@ -296,10 +302,16 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
     qg = q.reshape(B, T, num_kv_heads, rep, d)
     cols = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
     neg = jnp.float32(-3.4028235e38)
-    mask_past = jnp.where(cols[None, None, None] >= cache_index,
-                          neg, mask.astype(jnp.float32))
-    mask_self = jax.lax.dynamic_slice_in_dim(
-        mask.astype(jnp.float32), cache_index, T, axis=3)
+    if jnp.ndim(cache_index) == 1:  # per-row depths (T == 1)
+        cut = cache_index[:, None, None, None]
+        mask_past = jnp.where(cols[None, None, None] >= cut,
+                              neg, mask.astype(jnp.float32))
+        mask_self = jnp.zeros((B, 1, T, T), jnp.float32)
+    else:
+        mask_past = jnp.where(cols[None, None, None] >= cache_index,
+                              neg, mask.astype(jnp.float32))
+        mask_self = jax.lax.dynamic_slice_in_dim(
+            mask.astype(jnp.float32), cache_index, T, axis=3)
     s_past = jnp.einsum("btkrd,bskd->bkrts", qg, k_old.astype(q.dtype),
                         preferred_element_type=jnp.float32) * (d ** -0.5)
     if k_scale is not None:  # int8 cache: fold k scales into the scores
@@ -376,7 +388,8 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
             k_sc = v_sc = None
             k_cur = k_rows.astype(q.dtype)
             v_cur = v_rows.astype(q.dtype)
-        if ck.size * ck.dtype.itemsize <= _DENSE_CACHE_ROUTE_MAX_BYTES:
+        if jnp.ndim(cache_index) == 0 and \
+                ck.size * ck.dtype.itemsize <= _DENSE_CACHE_ROUTE_MAX_BYTES:
             # Tiny cache (B=1/small-B serving): write-then-attend. The
             # per-layer slice copy this forces is well under the ~8 us
             # of extra per-layer small ops (second einsum, concat,
@@ -424,6 +437,12 @@ def text_forward(params: Params, embeds: jnp.ndarray,
     ``position_ids`` [3, B, T]. With a cache, ``mask`` must cover the full
     cache length [B|1, 1, T, maxlen].
 
+    ``cache_index`` is the row every layer's fresh K/V lands at: a
+    scalar (all rows at the same depth — the generate() paths), or a
+    per-row vector [B] with T == 1 (continuous-batching decode,
+    vlm/engine.py: each slot writes at its own depth and the mask rows
+    admit ``cols <= depth_b``).
+
     ``last_only``: compute head logits for the final position only
     (returns [B, 1, V]) — prefill needs just the next-token logits, and
     the 152k-vocab head over all T positions is ~170 MB of wasted
@@ -466,20 +485,41 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         # and wrote a fresh full-size cache every step.
         x, rows = jax.lax.scan(body, x, xs)
         nk, nv = rows[:2]
-        new_k = jax.lax.dynamic_update_slice(
-            cache.k, nk, (0, 0, cache_index, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(
-            cache.v, nv, (0, 0, cache_index, 0, 0))
-        if quant:
-            nks, nvs = rows[2:]
-            new_ks = jax.lax.dynamic_update_slice(
-                cache.k_scale, nks, (0, 0, cache_index, 0))
-            new_vs = jax.lax.dynamic_update_slice(
-                cache.v_scale, nvs, (0, 0, cache_index, 0))
-            new_cache = KVCache(new_k, new_v, cache.length + x.shape[1],
-                                new_ks, new_vs)
+        if jnp.ndim(cache_index) == 1:
+            # per-row depths (continuous batching, T == 1): scatter each
+            # slot's fresh row at its own cache depth. cache.length is
+            # meaningless across heterogeneous slots — left untouched;
+            # the engine tracks per-slot lengths itself.
+            bidx = jnp.arange(nk.shape[1])
+            new_k = cache.k.at[:, bidx, cache_index].set(nk[:, :, 0])
+            new_v = cache.v.at[:, bidx, cache_index].set(nv[:, :, 0])
+            if quant:
+                nks, nvs = rows[2:]
+                new_ks = cache.k_scale.at[:, bidx, cache_index].set(
+                    nks[:, :, 0])
+                new_vs = cache.v_scale.at[:, bidx, cache_index].set(
+                    nvs[:, :, 0])
+                new_cache = KVCache(new_k, new_v, cache.length,
+                                    new_ks, new_vs)
+            else:
+                new_cache = KVCache(new_k, new_v, cache.length)
         else:
-            new_cache = KVCache(new_k, new_v, cache.length + x.shape[1])
+            new_k = jax.lax.dynamic_update_slice(
+                cache.k, nk, (0, 0, cache_index, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                cache.v, nv, (0, 0, cache_index, 0, 0))
+            if quant:
+                nks, nvs = rows[2:]
+                new_ks = jax.lax.dynamic_update_slice(
+                    cache.k_scale, nks, (0, 0, cache_index, 0))
+                new_vs = jax.lax.dynamic_update_slice(
+                    cache.v_scale, nvs, (0, 0, cache_index, 0))
+                new_cache = KVCache(new_k, new_v,
+                                    cache.length + x.shape[1],
+                                    new_ks, new_vs)
+            else:
+                new_cache = KVCache(new_k, new_v,
+                                    cache.length + x.shape[1])
 
     if last_index is not None:
         x = jax.lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
