@@ -98,7 +98,18 @@ def adapt_features(p: Params, x: jnp.ndarray, ratio: float, *,
     dropout_active = dropout > 0.0 and not deterministic
     if impl != "jnp" and x.ndim == 2:
         from vlm_clip_tpu.ops import fused_adapter as F
+        from vlm_clip_tpu.ops import fused_sharded as FS
 
+        if FS.current() is not None and FS.rows_shardable(x.shape[0]) \
+                and (not dropout_active or rng is not None):
+            # multi-chip: the same kernels per shard via shard_map
+            mesh, axis = FS.current()
+            seed = (jax.random.randint(rng, (), 0, 2**31 - 1)
+                    if dropout_active else None)
+            return FS.feature_adapter_blend_fused(
+                x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                p["fc2"]["kernel"], p["fc2"]["bias"], ratio,
+                dropout if dropout_active else 0.0, seed, mesh, axis)
         if impl == "fused" or F.fused_enabled():
             if not dropout_active:
                 return F.feature_adapter_blend_fused(
@@ -148,9 +159,23 @@ def seq_adapter(p: Params, x: jnp.ndarray, eps: float = 1e-5,
     """
     if impl != "jnp":
         from vlm_clip_tpu.ops import fused_adapter as F
+        from vlm_clip_tpu.ops import fused_sharded as FS
 
+        shape = x.shape
+        rows = 1
+        for s in shape[:-1]:
+            rows *= s
+        if FS.current() is not None and FS.rows_shardable(shape[0]):
+            # multi-chip: rows shard over the LEADING (batch) axis —
+            # the flattened [B*T, H] view keeps batch-major order, so
+            # P(axis) on rows == P(axis) on batch
+            mesh, axis = FS.current()
+            y = FS.seq_adapter_fused(
+                x.reshape(rows, shape[-1]), p["down"]["kernel"],
+                p["down"]["bias"], p["up"]["kernel"], p["up"]["bias"],
+                p["ln"]["scale"], p["ln"]["bias"], eps, mesh, axis)
+            return y.reshape(shape)
         if impl == "fused" or F.fused_enabled():
-            shape = x.shape
             y = F.seq_adapter_fused(
                 x.reshape(-1, shape[-1]), p["down"]["kernel"],
                 p["down"]["bias"], p["up"]["kernel"], p["up"]["bias"],
@@ -209,8 +234,33 @@ def cross_modal_adapter(p: Params, text: jnp.ndarray, image: jnp.ndarray,
     """
     if impl != "jnp":
         from vlm_clip_tpu.ops import fused_adapter as F
+        from vlm_clip_tpu.ops import fused_sharded as FS
 
         Tk = image.shape[1]
+        if FS.current() is not None and image.shape[0] == 1 \
+                and Tk <= F.ATTN_SEG_MAX \
+                and FS.rows_shardable(text.shape[0]):
+            # multi-chip: text rows shard over batch; the batch-shared
+            # packed kv (built once from the pseudo-image) rides the
+            # replicated-operand path with psum'd grads
+            mesh, axis = FS.current()
+            kbd, vbd = _pack_shared_kv_blockdiag(p, image, num_heads,
+                                                 eps, F.attn_seg(Tk))
+            B_, T_ = text.shape[:2]
+            ap = p["attn"]
+            h2 = FS.cross_attn_block_fused(
+                text.reshape(B_ * T_, -1),
+                p["text_proj"]["kernel"], p["text_proj"]["bias"],
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                ap["q"]["kernel"], ap["q"]["bias"], kbd, vbd,
+                ap["out"]["kernel"], ap["out"]["bias"], num_heads, Tk,
+                eps, mesh, axis)
+            mp = p["mlp"]
+            out2 = FS.prenorm_mlp_fused(
+                h2, mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                p["norm3"]["scale"], p["norm3"]["bias"], eps, mesh, axis)
+            return out2.reshape(B_, T_, -1)
         if (impl == "fused" or F.fused_enabled()) \
                 and image.shape[0] == 1 and Tk <= F.ATTN_SEG_MAX:
             # Two Pallas kernels per layer (in-kernel remat, nothing
