@@ -1,0 +1,147 @@
+"""Continuous-batching engine vs static batched generation (real TPU).
+
+The reference's serving pattern is a fixed ``generate()`` batch
+(model_v.py:108-118): the batch runs until its LAST row finishes, so
+under heterogeneous generation lengths every early-finishing row idles.
+The engine (vlm/engine.py) refills finished slots immediately. This
+bench quantifies that on 3B-shape weights:
+
+- ``--workload uniform``: every request wants the same token budget —
+  measures pure engine overhead vs ``generate_batch_from_ids`` (per-row
+  masks/scatter writes + one host sync per chunk).
+- ``--workload mixed``: budgets drawn uniformly from [lo, hi] — the
+  static path must decode every batch to its max budget, the engine
+  reclaims each slot the step its request finishes.
+
+    python -m vlm_clip_tpu.cli.bench_engine --slots 64 --requests 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/vlm_clip_tpu_jaxcache")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--slots", type=int, default=64)
+    p.add_argument("--requests", type=int, default=256)
+    p.add_argument("--sync-steps", type=int, default=16)
+    p.add_argument("--size", type=int, default=448)
+    p.add_argument("--max-len", type=int, default=768)
+    p.add_argument("--workload", default="mixed",
+                   choices=("mixed", "uniform"))
+    p.add_argument("--budget-lo", type=int, default=25)
+    p.add_argument("--budget-hi", type=int, default=200)
+    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
+    p.add_argument("--skip-static", action="store_true")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import numpy as np
+
+    from vlm_clip_tpu.cli.bench_decode import synth_quantized_text_params
+    from vlm_clip_tpu.cli.bench_vision import synth_vision_params
+    from vlm_clip_tpu.vlm.engine import ContinuousBatchingEngine
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+    from vlm_clip_tpu.vlm.qwen_convert import (
+        fold_qwen_patch_normalization, quantize_qwen_params)
+    from vlm_clip_tpu.vlm.qwen_model import qwen25vl_3b
+    from vlm_clip_tpu.vlm.qwen_process import prepare_vision_inputs
+
+    cfg = qwen25vl_3b()
+    cfg = dataclasses.replace(cfg, text=dataclasses.replace(
+        cfg.text, tie_word_embeddings=False))
+    print("synthesizing 3B-shape params (8h4) ...", flush=True)
+    text = synth_quantized_text_params(cfg.text, 8, 4, fused=True)
+    vision = synth_vision_params(cfg.vision)
+    vision = fold_qwen_patch_normalization(vision, cfg.vision)
+    vision = quantize_qwen_params({"vision": vision}, 8)["vision"]
+    gen = QwenVLGenerator({"text": text, "vision": vision}, cfg,
+                          max_len=args.max_len, kv_bits=args.kv_bits)
+
+    rng = np.random.default_rng(0)
+    n = args.requests
+    imgs = [rng.integers(0, 255, (args.size, args.size, 3), np.uint8)
+            for _ in range(n)]
+    vins = [prepare_vision_inputs(im, cfg.vision,
+                                  fixed_resolution=args.size,
+                                  raw_uint8=True) for im in imgs]
+    n_vis = vins[0].num_vision_tokens
+    ids = np.asarray(
+        [11, 22, cfg.vision_start_token_id] + [cfg.image_token_id] * n_vis
+        + list(rng.integers(1, 10000, 24)), np.int64)
+    if args.workload == "mixed":
+        budgets = rng.integers(args.budget_lo, args.budget_hi + 1,
+                               n).tolist()
+    else:
+        budgets = [args.budget_hi] * n
+    total_tokens = sum(budgets)
+    print(f"{n} requests, prompt {len(ids)} tokens, budgets "
+          f"{min(budgets)}..{max(budgets)} (sum {total_tokens})",
+          flush=True)
+
+    # --- engine ------------------------------------------------------------
+    def engine_run():
+        eng = ContinuousBatchingEngine(
+            gen, n_slots=args.slots, sync_steps=args.sync_steps,
+            refill_chunks=(32, 8, 1))
+        for v, m in zip(vins, budgets):
+            eng.submit(ids, v, max_new_tokens=m)
+        return eng.flush()
+
+    print("engine: compiling ...", flush=True)
+    t0 = time.perf_counter()
+    res = engine_run()
+    print(f"engine first run (compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    res = engine_run()
+    dt_e = time.perf_counter() - t0
+    got_tokens = sum(len(v) for v in res.values())
+    print(f"engine: {dt_e:.2f} s, {got_tokens} tokens -> "
+          f"{got_tokens / dt_e:.0f} tok/s, "
+          f"{n / dt_e * 3600:.0f} requests/hour", flush=True)
+
+    if args.skip_static:
+        return
+
+    # --- static batches ------------------------------------------------------
+    # a static server batches `slots` requests and decodes each batch to
+    # its own max budget (per-batch max_new compiles are shape-identical:
+    # max_new is a while_loop bound, but it IS a static arg — use the
+    # batch's max)
+    def static_run():
+        out = []
+        for off in range(0, n, args.slots):
+            bvins = vins[off:off + args.slots]
+            cap = max(budgets[off:off + args.slots])
+            toks = gen.generate_batch_from_ids(
+                ids, bvins, max_new_tokens=cap,
+                prefill_chunk=32 if len(bvins) > 32 else None)
+            out.extend(t[:b] for t, b in
+                       zip(toks, budgets[off:off + args.slots]))
+        return out
+
+    print("static: compiling ...", flush=True)
+    t0 = time.perf_counter()
+    out = static_run()
+    print(f"static first run (compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    out = static_run()
+    dt_s = time.perf_counter() - t0
+    s_tokens = sum(len(t) for t in out)
+    print(f"static: {dt_s:.2f} s, {s_tokens} tokens -> "
+          f"{s_tokens / dt_s:.0f} tok/s, "
+          f"{n / dt_s * 3600:.0f} requests/hour", flush=True)
+    print(f"engine speedup: {dt_s / dt_e:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
