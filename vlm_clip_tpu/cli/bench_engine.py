@@ -39,6 +39,15 @@ def main(argv=None):
     p.add_argument("--budget-hi", type=int, default=200)
     p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
     p.add_argument("--skip-static", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="per-phase engine attribution (install/steps/"
+                        "sync; adds a device sync per phase)")
+    p.add_argument("--refill-chunks", default="32,8,1")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="n-gram speculative decoding: verify K drafts "
+                        "per forward (greedy-exact; random synth "
+                        "weights measure pure overhead — acceptance "
+                        "needs real text statistics)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -87,13 +96,35 @@ def main(argv=None):
           flush=True)
 
     # --- engine ------------------------------------------------------------
+    chunks = tuple(int(c) for c in args.refill_chunks.split(","))
+
     def engine_run():
         eng = ContinuousBatchingEngine(
             gen, n_slots=args.slots, sync_steps=args.sync_steps,
-            refill_chunks=(32, 8, 1))
+            refill_chunks=chunks, profile=args.profile,
+            spec_k=args.spec_k)
+        t_start = time.perf_counter()
         for v, m in zip(vins, budgets):
             eng.submit(ids, v, max_new_tokens=m)
-        return eng.flush()
+        out = {}
+        finish = {}
+        while eng.pending:
+            done = eng.poll()
+            now = time.perf_counter() - t_start
+            for rid in done:
+                finish[rid] = now
+            out.update(done)
+        engine_run.latencies = sorted(finish.values())
+        if args.profile:
+            st = eng.stats
+            print(f"  install {st['install_s']:.2f}s "
+                  f"({st['installs']} prefills, "
+                  f"{st['install_s'] / max(st['installs'], 1) * 1e3:.0f} "
+                  f"ms/img)  steps {st['steps_s']:.2f}s "
+                  f"({st['steps']} steps, "
+                  f"{st['steps_s'] / max(st['steps'], 1) * 1e3:.1f} "
+                  f"ms/step)  sync {st['sync_s']:.2f}s", flush=True)
+        return out
 
     print("engine: compiling ...", flush=True)
     t0 = time.perf_counter()
@@ -104,9 +135,13 @@ def main(argv=None):
     res = engine_run()
     dt_e = time.perf_counter() - t0
     got_tokens = sum(len(v) for v in res.values())
+    lat = engine_run.latencies
     print(f"engine: {dt_e:.2f} s, {got_tokens} tokens -> "
           f"{got_tokens / dt_e:.0f} tok/s, "
-          f"{n / dt_e * 3600:.0f} requests/hour", flush=True)
+          f"{n / dt_e * 3600:.0f} requests/hour; request latency "
+          f"p50 {lat[len(lat) // 2]:.1f}s "
+          f"p95 {lat[int(len(lat) * 0.95)]:.1f}s (queue-at-t0 model)",
+          flush=True)
 
     if args.skip_static:
         return
@@ -118,6 +153,8 @@ def main(argv=None):
     # batch's max)
     def static_run():
         out = []
+        lats = []
+        t_start = time.perf_counter()
         for off in range(0, n, args.slots):
             bvins = vins[off:off + args.slots]
             cap = max(budgets[off:off + args.slots])
@@ -126,6 +163,9 @@ def main(argv=None):
                 prefill_chunk=32 if len(bvins) > 32 else None)
             out.extend(t[:b] for t, b in
                        zip(toks, budgets[off:off + args.slots]))
+            # every request in the batch finishes when the batch does
+            lats.extend([time.perf_counter() - t_start] * len(bvins))
+        static_run.latencies = sorted(lats)
         return out
 
     print("static: compiling ...", flush=True)
@@ -137,6 +177,10 @@ def main(argv=None):
     out = static_run()
     dt_s = time.perf_counter() - t0
     s_tokens = sum(len(t) for t in out)
+    slat = static_run.latencies
+    print(f"static request latency p50 {slat[len(slat) // 2]:.1f}s "
+          f"p95 {slat[int(len(slat) * 0.95)]:.1f}s (queue-at-t0 model)",
+          flush=True)
     print(f"static: {dt_s:.2f} s, {s_tokens} tokens -> "
           f"{s_tokens / dt_s:.0f} tok/s, "
           f"{n / dt_s * 3600:.0f} requests/hour", flush=True)

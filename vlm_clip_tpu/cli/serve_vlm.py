@@ -177,7 +177,7 @@ def build_engine(weights: Optional[str], allow_synth: bool,
                  quant_bits="8h4", kv_bits: int = 16, max_len: int = 768,
                  slots: int = 32, sync_steps: int = 16,
                  resolution: int = 448, sampling=None,
-                 refill_chunks=(8, 1)):
+                 refill_chunks=(8, 1), spec_k: int = 0):
     """Returns (engine, prep_fn, tokenizer, mode).
 
     Real weights: the QwenVLContextExtractor loading contract
@@ -251,10 +251,18 @@ def build_engine(weights: Optional[str], allow_synth: bool,
 
     gen = QwenVLGenerator(params, cfg, max_len=max_len, kv_bits=kv_bits)
     gen.u8_patches = True
+    if spec_k and sampling is not None and (
+            sampling.do_sample or sampling.needs_presence):
+        raise SystemExit(
+            "--spec-k requires deterministic decoding, but the "
+            "checkpoint's generation_config enables sampling/"
+            "repetition-penalty — pass an explicit greedy sampling "
+            "config to combine them")
     engine = ContinuousBatchingEngine(gen, n_slots=slots,
                                       sync_steps=sync_steps,
                                       sampling=sampling,
-                                      refill_chunks=refill_chunks)
+                                      refill_chunks=refill_chunks,
+                                      spec_k=spec_k)
 
     rng = np.random.default_rng(0)
     synth_tail = rng.integers(1, 10000, 24).tolist()
@@ -293,13 +301,17 @@ def main(argv=None) -> None:
     p.add_argument("--bits", default="8h4",
                    choices=("4", "8", "8h4", "mixed"))
     p.add_argument("--size", type=int, default=448)
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="n-gram speculative decoding (greedy-exact; "
+                        "refuses sampled generation configs)")
     args = p.parse_args(argv)
 
     bits = args.bits if args.bits in ("mixed", "8h4") else int(args.bits)
     engine, prep_fn, tokenizer, mode = build_engine(
         args.weights, args.allow_synth_weights, quant_bits=bits,
         kv_bits=args.kv_bits, max_len=args.max_len, slots=args.slots,
-        sync_steps=args.sync_steps, resolution=args.size)
+        sync_steps=args.sync_steps, resolution=args.size,
+        spec_k=args.spec_k)
     worker = EngineWorker(engine)
     srv = ThreadingHTTPServer(("0.0.0.0", args.port),
                               make_vlm_handler(worker, prep_fn, tokenizer,

@@ -37,13 +37,210 @@ from __future__ import annotations
 
 import collections
 import functools
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .qwen_model import KVCache, init_kv_cache
+import jax
+import jax.numpy as jnp
+
+from . import speculative as _spec
+from .qwen_model import KVCache, init_kv_cache, text_forward
 from .qwen_process import VisionInputs, rope_index_single
 from .sampling import GREEDY, SamplingConfig, sample_token
+
+_NEG = 3.4028235e38
+
+
+def _is_stop(tokens, stops):
+    hit = tokens == jnp.int32(stops[0])
+    for e in stops[1:]:
+        hit = hit | (tokens == jnp.int32(e))
+    return hit
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted kernels. These live OUTSIDE the engine class so the
+# in-process jit cache is shared across engine instances: per-instance
+# ``jax.jit`` objects made by every fresh engine (tests, benches,
+# restarts) re-deserialize multi-second executables from the persistent
+# cache on their first chunk — measured as a fixed ~9 s of phantom
+# "decode" per engine lifetime at 3B shapes (BENCH.md round 3). All
+# config enters via hashable statics (frozen dataclasses/tuples/ints).
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("k_steps", "scfg", "span", "tcfg", "stops",
+                              "eos", "dtype"),
+    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
+                     "remaining", "presence"))
+def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
+                  presence, key, *, k_steps, scfg, span, tcfg, stops,
+                  eos, dtype):
+    """k fixed decode steps over every slot; done/free rows compute
+    garbage (discarded) — the price of one static shape.
+
+    Per-step contract mirrors the single-batch decode loop (qwen.py
+    decode_loop): the current token is recorded first (eos/budget
+    checked), then forwarded — its KV row lands at depth ``lengths``
+    and it attends ``cols <= lengths``, exactly decode_step_inner's
+    write/mask indexing.
+
+    ``span`` (static): host-computed KV read bucket — every live slot's
+    depth stays < span for the whole chunk, so attention streams only
+    cache cols < span (one cached compile per bucket).
+    """
+    n = tokens.shape[0]
+    buf0 = jnp.full((n, k_steps), eos, jnp.int32)
+    cols = jnp.arange(cache.k.shape[2])
+
+    def body(i, st):
+        (cache, tokens, pos, lengths, done, remaining, presence,
+         key, buf) = st
+        done = done | _is_stop(tokens, stops) | (remaining <= 0)
+        buf = buf.at[:, i].set(
+            jnp.where(done, jnp.int32(eos), tokens))
+        rec = jnp.logical_not(done)
+        if scfg.needs_presence:
+            presence = presence.at[jnp.arange(n), tokens].set(True)
+        remaining = remaining - rec
+
+        emb = params["embed_tokens"][tokens][:, None]
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1))
+        mask = jnp.where(cols[None] <= lengths[:, None],
+                         0.0, -_NEG)[:, None, None, :]
+        logits, cache = text_forward(
+            params, emb.astype(dtype), pos3, tcfg, mask,
+            cache, lengths, kv_read_span=span)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits[:, -1], presence, sub, scfg)
+        tokens = jnp.where(done, tokens, nxt)
+        pos = pos + rec
+        lengths = lengths + rec
+        return (cache, tokens, pos, lengths, done, remaining,
+                presence, key, buf)
+
+    st = (cache, tokens, pos, lengths, done, remaining, presence,
+          key, buf0)
+    st = jax.lax.fori_loop(0, k_steps, body, st)
+    return st
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_rounds", "spec_k", "span", "tcfg",
+                              "stops", "eos", "dtype"),
+    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
+                     "remaining", "hist", "gen_count"))
+def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
+                       remaining, hist, gen_count, *, k_rounds, spec_k,
+                       span, tcfg, stops, eos, dtype):
+    """k_rounds speculative verify rounds over every slot (greedy only).
+
+    Each round mirrors one vanilla step — record the carried token,
+    forward, carry the sample — except the forward consumes
+    [carried, draft_1..draft_K] (T = K+1, per-row depths; KV rows for
+    the whole block land at lengths..lengths+K) and every draft token
+    the model's own greedy choice agrees with is recorded too:
+    ``a`` accepted drafts emit a+1 tokens for one weight-streaming
+    pass. Token-identical to the vanilla chunk under greedy
+    (vlm/speculative.py docstring; tests/test_speculative.py).
+
+    ``hist`` [n, H+1] carries each slot's generated tokens across
+    chunks for the n-gram lookup (col H is a scatter scrap column for
+    masked writes). Returns buf [n, k_rounds*(K+1)] packed per row —
+    the harvest contract (lengths delta) is unchanged.
+    """
+    n = tokens.shape[0]
+    K = spec_k
+    cap = k_rounds * (K + 1)
+    H = hist.shape[1] - 1
+    buf0 = jnp.full((n, cap + 1), eos, jnp.int32)  # last col = scrap
+    cols = jnp.arange(cache.k.shape[2])
+    bidx = jnp.arange(n)
+
+    def body(_, st):
+        (cache, tokens, pos, lengths, done, remaining, hist,
+         gen_count, buf, bufcnt) = st
+        done = done | _is_stop(tokens, stops) | (remaining <= 0)
+        rec = jnp.logical_not(done)
+
+        # record the carried token
+        buf = buf.at[bidx, jnp.where(rec, jnp.minimum(bufcnt, cap),
+                                     cap)].set(tokens)
+        hist = hist.at[bidx, jnp.where(rec, jnp.minimum(gen_count, H),
+                                       H)].set(tokens)
+        bufcnt = bufcnt + rec
+        gen_count = gen_count + rec
+        remaining = remaining - rec
+
+        draft = _spec.ngram_draft(hist[:, :H], gen_count, K)
+        inp = jnp.concatenate([tokens[:, None], draft], axis=1)
+        emb = params["embed_tokens"][inp]
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1)) \
+            + jnp.arange(K + 1)[None, None]
+        mask = jnp.where(cols[None] <= lengths[:, None],
+                         0.0, -_NEG)[:, None, None, :]
+        logits, cache = text_forward(
+            params, emb.astype(dtype), pos3, tcfg, mask, cache,
+            lengths, kv_read_span=span)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        a = _spec.accept_greedy(draft, preds, stops)
+        m = jnp.where(rec, jnp.minimum(a, jnp.maximum(remaining, 0)), 0)
+        for j in range(K):  # static K, tiny scatters
+            w = j < m
+            buf = buf.at[bidx, jnp.where(w, jnp.minimum(bufcnt + j, cap),
+                                         cap)].set(preds[:, j])
+            hist = hist.at[bidx,
+                           jnp.where(w, jnp.minimum(gen_count + j, H),
+                                     H)].set(preds[:, j])
+        bufcnt = bufcnt + m
+        gen_count = gen_count + m
+        remaining = remaining - m
+
+        newtok = jnp.take_along_axis(preds, m[:, None], axis=1)[:, 0]
+        tokens = jnp.where(rec, newtok, tokens)
+        adv = jnp.where(rec, 1 + m, 0)
+        pos = pos + adv
+        lengths = lengths + adv
+        return (cache, tokens, pos, lengths, done, remaining, hist,
+                gen_count, buf, bufcnt)
+
+    st = (cache, tokens, pos, lengths, done, remaining, hist, gen_count,
+          buf0, jnp.zeros((n,), jnp.int32))
+    st = jax.lax.fori_loop(0, k_rounds, body, st)
+    return st[:8] + (st[8][:, :cap],)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scfg",),
+    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
+                     "remaining", "presence"))
+def _engine_place(cache, sub_cache, logits0, slots, tokens, pos, lengths,
+                  done, remaining, presence, prows, pos0, len0, rem0,
+                  key, scfg):
+    """Install a prefilled group into its slots: scatter the sub-batch
+    KV rows at the slot indices, sample each row's first token from its
+    prefill logits, reset per-slot state."""
+    k = cache.k.at[:, slots].set(sub_cache.k)
+    v = cache.v.at[:, slots].set(sub_cache.v)
+    if cache.k_scale is not None:
+        ks = cache.k_scale.at[:, slots].set(sub_cache.k_scale)
+        vs = cache.v_scale.at[:, slots].set(sub_cache.v_scale)
+        cache = KVCache(k, v, cache.length, ks, vs)
+    else:
+        cache = KVCache(k, v, cache.length)
+    presence = presence.at[slots].set(prows)
+    key, sub = jax.random.split(key)
+    tok0 = sample_token(logits0, presence[slots], sub, scfg)
+    tokens = tokens.at[slots].set(tok0)
+    pos = pos.at[slots].set(pos0)
+    lengths = lengths.at[slots].set(len0)
+    done = done.at[slots].set(False)
+    remaining = remaining.at[slots].set(rem0)
+    return (cache, tokens, pos, lengths, done, remaining,
+            presence, key)
 
 
 class _Pending:
@@ -74,14 +271,30 @@ class ContinuousBatchingEngine:
     def __init__(self, gen, n_slots: int = 32, sync_steps: int = 16,
                  sampling: Optional[SamplingConfig] = None,
                  seed: int = 0,
-                 refill_chunks: Tuple[int, ...] = (8, 4, 2, 1)):
-        import jax
-        import jax.numpy as jnp
-
+                 refill_chunks: Tuple[int, ...] = (8, 4, 2, 1),
+                 profile: bool = False, spec_k: int = 0):
         self.gen = gen
         self.cfg = gen.cfg
         self.n_slots = n_slots
         self.sync_steps = sync_steps
+        # n-gram speculative decoding: verify K draft tokens per forward
+        # (vlm/speculative.py). Deterministic decoding only — greedy
+        # acceptance IS the exactness proof; sampled configs would need
+        # rejection sampling against a draft distribution that an
+        # n-gram lookup doesn't have.
+        self.spec_k = int(spec_k)
+        scfg_chk = sampling or GREEDY
+        if self.spec_k and (scfg_chk.do_sample
+                            or scfg_chk.needs_presence):
+            raise ValueError(
+                "spec_k requires deterministic decoding (do_sample="
+                "False, repetition_penalty=1.0); got "
+                f"{scfg_chk}")
+        # opt-in phase attribution: blocks after install/steps dispatches
+        # (a device sync each — measurement only, not the serving path)
+        self.profile = profile
+        self.stats = {"install_s": 0.0, "steps_s": 0.0, "sync_s": 0.0,
+                      "installs": 0, "steps": 0}
         self.scfg = sampling or GREEDY
         self.refill_chunks = tuple(
             c for c in sorted(set(refill_chunks), reverse=True)
@@ -99,6 +312,11 @@ class ContinuousBatchingEngine:
         self.remaining = jnp.zeros((n_slots,), jnp.int32)
         pdim = self.cfg.text.vocab_size if self.scfg.needs_presence else 1
         self.presence = jnp.zeros((n_slots, pdim), bool)
+        if self.spec_k:
+            # per-slot generated history for the n-gram lookup
+            # (+1 scrap column for masked scatters)
+            self.hist = jnp.zeros((n_slots, gen.max_len + 1), jnp.int32)
+            self.gen_count = jnp.zeros((n_slots,), jnp.int32)
 
         # --- host state ----------------------------------------------------
         self._queue: "collections.deque[_Pending]" = collections.deque()
@@ -107,111 +325,6 @@ class ContinuousBatchingEngine:
         self._lengths_host = np.zeros((n_slots,), np.int64)
         self._next_id = 0
         self._finished: Dict[int, List[int]] = {}
-
-        self._build_jits()
-
-    # ------------------------------------------------------------------
-    # jitted kernels
-    # ------------------------------------------------------------------
-    def _build_jits(self):
-        import jax
-        import jax.numpy as jnp
-
-        cfg = self.cfg
-        tcfg = cfg.text
-        gen = self.gen
-        stops = self._stops
-        neg = jnp.float32(-3.4028235e38)
-
-        from .qwen_model import text_forward
-
-        def is_stop(tokens):
-            hit = tokens == jnp.int32(stops[0])
-            for e in stops[1:]:
-                hit = hit | (tokens == jnp.int32(e))
-            return hit
-
-        @functools.partial(
-            jax.jit, static_argnames=("k_steps", "scfg"),
-            donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                             "remaining", "presence"))
-        def steps(params, cache, tokens, pos, lengths, done, remaining,
-                  presence, key, k_steps, scfg):
-            """k fixed decode steps over every slot; done/free rows
-            compute garbage (discarded) — the price of one static shape.
-
-            Per-step contract mirrors the single-batch decode loop
-            (qwen.py decode_loop): the current token is recorded first
-            (eos/budget checked), then forwarded — its KV row lands at
-            depth ``lengths`` and it attends ``cols <= lengths``,
-            exactly decode_step_inner's write/mask indexing.
-            """
-            n = tokens.shape[0]
-            buf0 = jnp.full((n, k_steps), cfg.eos_token_id, jnp.int32)
-            cols = jnp.arange(cache.k.shape[2])
-
-            def body(i, st):
-                (cache, tokens, pos, lengths, done, remaining, presence,
-                 key, buf) = st
-                done = done | is_stop(tokens) | (remaining <= 0)
-                buf = buf.at[:, i].set(
-                    jnp.where(done, jnp.int32(cfg.eos_token_id), tokens))
-                rec = jnp.logical_not(done)
-                if scfg.needs_presence:
-                    presence = presence.at[jnp.arange(n), tokens].set(True)
-                remaining = remaining - rec
-
-                emb = params["embed_tokens"][tokens][:, None]
-                pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1))
-                mask = jnp.where(cols[None] <= lengths[:, None],
-                                 0.0, neg)[:, None, None, :]
-                logits, cache = text_forward(
-                    params, emb.astype(gen.dtype), pos3, tcfg, mask,
-                    cache, lengths)
-                key, sub = jax.random.split(key)
-                nxt = sample_token(logits[:, -1], presence, sub, scfg)
-                tokens = jnp.where(done, tokens, nxt)
-                pos = pos + rec
-                lengths = lengths + rec
-                return (cache, tokens, pos, lengths, done, remaining,
-                        presence, key, buf)
-
-            st = (cache, tokens, pos, lengths, done, remaining, presence,
-                  key, buf0)
-            st = jax.lax.fori_loop(0, k_steps, body, st)
-            return st
-
-        @functools.partial(
-            jax.jit, static_argnames=("scfg",),
-            donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                             "remaining", "presence"))
-        def place(cache, sub_cache, logits0, slots, tokens, pos, lengths,
-                  done, remaining, presence, prows, pos0, len0, rem0,
-                  key, scfg):
-            """Install a prefilled group into its slots: scatter the
-            sub-batch KV rows at the slot indices, sample each row's
-            first token from its prefill logits, reset per-slot state."""
-            k = cache.k.at[:, slots].set(sub_cache.k)
-            v = cache.v.at[:, slots].set(sub_cache.v)
-            if cache.k_scale is not None:
-                ks = cache.k_scale.at[:, slots].set(sub_cache.k_scale)
-                vs = cache.v_scale.at[:, slots].set(sub_cache.v_scale)
-                cache = KVCache(k, v, cache.length, ks, vs)
-            else:
-                cache = KVCache(k, v, cache.length)
-            presence = presence.at[slots].set(prows)
-            key, sub = jax.random.split(key)
-            tok0 = sample_token(logits0, presence[slots], sub, scfg)
-            tokens = tokens.at[slots].set(tok0)
-            pos = pos.at[slots].set(pos0)
-            lengths = lengths.at[slots].set(len0)
-            done = done.at[slots].set(False)
-            remaining = remaining.at[slots].set(rem0)
-            return (cache, tokens, pos, lengths, done, remaining,
-                    presence, key)
-
-        self._steps = steps
-        self._place = place
 
     # ------------------------------------------------------------------
     # host API
@@ -260,8 +373,6 @@ class ContinuousBatchingEngine:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
     def _refill(self):
-        import jax.numpy as jnp
-
         free = self._free_slots()
         while self._queue and free:
             # group the queue head with same-layout requests behind it
@@ -288,10 +399,9 @@ class ContinuousBatchingEngine:
         """One batched vision+prefill for a same-layout group, scattered
         into ``slots``. Mirrors generate_batch_from_ids's prep
         (qwen.py:461-511) with the merge going to slot indices."""
-        import jax.numpy as jnp
-
         gen = self.gen
         cfg = self.cfg
+        t0 = time.perf_counter() if self.profile else 0.0
         head = group[0]
         ids, v0 = head.ids, head.vision
         pos, delta = rope_index_single(ids, v0.grid, cfg)
@@ -321,27 +431,66 @@ class ContinuousBatchingEngine:
         prows = np.broadcast_to(prow, (c, pdim))
 
         (self.cache, self.tokens, self.pos, self.lengths, self.done,
-         self.remaining, self.presence, self._key) = self._place(
+         self.remaining, self.presence, self._key) = _engine_place(
             self.cache, sub_cache, logits0, jnp.asarray(slots, jnp.int32),
             self.tokens, self.pos, self.lengths, self.done,
             self.remaining, self.presence, jnp.asarray(prows),
             jnp.full((c,), T + delta, jnp.int32),
             jnp.full((c,), T, jnp.int32),
             jnp.asarray([p.max_new for p in group], jnp.int32),
-            self._key, self.scfg)
+            self._key, scfg=self.scfg)
+        if self.spec_k:
+            sl = jnp.asarray(slots, jnp.int32)
+            self.hist = self.hist.at[sl].set(0)
+            self.gen_count = self.gen_count.at[sl].set(0)
+        if self.profile:
+            jax.block_until_ready(self.tokens)
+            self.stats["install_s"] += time.perf_counter() - t0
+            self.stats["installs"] += len(group)
         for p, s in zip(group, slots):
             self._slot_req[s] = p.req_id
             self._slot_toks[s] = []
             self._lengths_host[s] = T
 
+    def _kv_span(self) -> int:
+        """KV read bucket for the next chunk: max active depth plus the
+        chunk's growth, rounded up to 128 (one cached steps-compile per
+        bucket, <= max_len/128 total)."""
+        deepest = max((int(self._lengths_host[s])
+                       for s, r in enumerate(self._slot_req)
+                       if r is not None), default=0)
+        need = deepest + self.sync_steps * (1 + self.spec_k)
+        return min(self.gen.max_len, -(-need // 128) * 128)
+
     def _chunk(self):
         """One decode chunk + harvest (the single host sync)."""
-        (self.cache, self.tokens, self.pos, self.lengths, self.done,
-         self.remaining, self.presence, self._key, buf) = self._steps(
-            self.gen.params["text"], self.cache, self.tokens, self.pos,
-            self.lengths, self.done, self.remaining, self.presence,
-            self._key, self.sync_steps, self.scfg)
+        t0 = time.perf_counter() if self.profile else 0.0
+        if self.spec_k:
+            (self.cache, self.tokens, self.pos, self.lengths, self.done,
+             self.remaining, self.hist, self.gen_count, buf) = \
+                _engine_spec_steps(
+                    self.gen.params["text"], self.cache, self.tokens,
+                    self.pos, self.lengths, self.done, self.remaining,
+                    self.hist, self.gen_count, k_rounds=self.sync_steps,
+                    spec_k=self.spec_k, span=self._kv_span(),
+                    tcfg=self.cfg.text, stops=self._stops,
+                    eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
+        else:
+            (self.cache, self.tokens, self.pos, self.lengths, self.done,
+             self.remaining, self.presence, self._key, buf) = \
+                _engine_steps(
+                    self.gen.params["text"], self.cache, self.tokens,
+                    self.pos, self.lengths, self.done, self.remaining,
+                    self.presence, self._key, k_steps=self.sync_steps,
+                    scfg=self.scfg, span=self._kv_span(),
+                    tcfg=self.cfg.text, stops=self._stops,
+                    eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
 
+        if self.profile:
+            jax.block_until_ready(buf)
+            self.stats["steps_s"] += time.perf_counter() - t0
+            self.stats["steps"] += self.sync_steps
+            t0 = time.perf_counter()
         buf_h = np.asarray(buf)
         lengths_h = np.asarray(self.lengths)
         done_h = np.asarray(self.done)
@@ -349,6 +498,8 @@ class ContinuousBatchingEngine:
         tokens_h = np.asarray(self.tokens)
         stop_h = np.isin(tokens_h, np.asarray(self._stops))
 
+        if self.profile:
+            self.stats["sync_s"] += time.perf_counter() - t0
         for s, rid in enumerate(self._slot_req):
             if rid is None:
                 continue

@@ -291,10 +291,13 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
     accounting").
 
     ``cache_index`` may be a per-row vector [B] (continuous-batching
-    decode: every slot sits at its own depth). Then T must be 1: the
-    stale-row cutoff broadcasts per row, and the self column is always
-    admitted (a T=1 token trivially attends itself), replacing the
-    scalar dynamic_slice of the caller's mask.
+    decode: every slot sits at its own depth). The stale-row cutoff
+    then broadcasts per row. With T == 1 the self column is trivially
+    admitted; with T > 1 (speculative verification: the fresh block is
+    [x0, draft...] at rows depth..depth+T-1) the fresh columns get a
+    causal triangle, so fresh position i attends cache cols < depth_b
+    plus fresh cols <= i — exactly the vanilla step-by-step attended
+    set for each position.
     """
     B, T, h, d = q.shape
     S = k_old.shape[1]
@@ -302,11 +305,13 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
     qg = q.reshape(B, T, num_kv_heads, rep, d)
     cols = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
     neg = jnp.float32(-3.4028235e38)
-    if jnp.ndim(cache_index) == 1:  # per-row depths (T == 1)
+    if jnp.ndim(cache_index) == 1:  # per-row depths
         cut = cache_index[:, None, None, None]
         mask_past = jnp.where(cols[None, None, None] >= cut,
                               neg, mask.astype(jnp.float32))
-        mask_self = jnp.zeros((B, 1, T, T), jnp.float32)
+        tri = jnp.tril(jnp.ones((T, T), bool))
+        mask_self = jnp.where(tri, 0.0, neg)[None, None]
+        mask_self = jnp.broadcast_to(mask_self, (B, 1, T, T))
     else:
         mask_past = jnp.where(cols[None, None, None] >= cache_index,
                               neg, mask.astype(jnp.float32))
@@ -430,7 +435,8 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                  cache: Optional[KVCache] = None,
                  cache_index: Optional[jnp.ndarray] = None,
                  last_only: bool = False,
-                 last_index: Optional[jnp.ndarray] = None
+                 last_index: Optional[jnp.ndarray] = None,
+                 kv_read_span: Optional[int] = None
                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """embeds [B, T, H] -> (logits [B, T, V], updated cache).
 
@@ -453,6 +459,15 @@ def text_forward(params: Params, embeds: jnp.ndarray,
     the "last" token when the sequence is tail-padded to a bucketed
     length — the padded prefill path (exact HF dynamic resolution)
     needs logits at the final REAL position, not at T-1.
+
+    ``kv_read_span`` (static int, vector ``cache_index`` only):
+    attention READS only cache columns ``< kv_read_span`` — the engine
+    passes a host-computed bucket over max(active depth) + chunk steps,
+    so a 768-row cache with ~400-deep slots streams ~half the KV bytes
+    per step (decode is cache-streaming-bound, BENCH.md r2). Row WRITES
+    still target the full cache. The caller guarantees every row that
+    any live slot attends sits below the span; deeper stale rows belong
+    to done/free slots whose outputs are discarded.
     """
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
                              cfg.mrope_section)
@@ -470,10 +485,21 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         xs = (params["layers"], cache.k, cache.v) \
             + ((cache.k_scale, cache.v_scale) if quant else ())
 
+        span = kv_read_span
+        if span is not None and (jnp.ndim(cache_index) != 1
+                                 or span > cache.k.shape[2]):
+            raise ValueError("kv_read_span requires a per-row vector "
+                             "cache_index and span <= max_len")
+        rmask = mask if span is None else mask[..., :span]
+
         def body(h, inputs):
             lp, ck, cv = inputs[:3]
             cks, cvs = inputs[3:] if quant else (None, None)
-            h, rows = text_decoder_layer(lp, h, cos, sin, mask, cfg,
+            if span is not None and span < ck.shape[1]:
+                ck, cv = ck[:, :span], cv[:, :span]
+                if quant:
+                    cks, cvs = cks[:, :span], cvs[:, :span]
+            h, rows = text_decoder_layer(lp, h, cos, sin, rmask, cfg,
                                          (ck, cv, cks, cvs), cache_index)
             return h, rows if quant else rows[:2]
 
@@ -486,19 +512,22 @@ def text_forward(params: Params, embeds: jnp.ndarray,
         x, rows = jax.lax.scan(body, x, xs)
         nk, nv = rows[:2]
         if jnp.ndim(cache_index) == 1:
-            # per-row depths (continuous batching, T == 1): scatter each
-            # slot's fresh row at its own cache depth. cache.length is
-            # meaningless across heterogeneous slots — left untouched;
-            # the engine tracks per-slot lengths itself.
-            bidx = jnp.arange(nk.shape[1])
-            new_k = cache.k.at[:, bidx, cache_index].set(nk[:, :, 0])
-            new_v = cache.v.at[:, bidx, cache_index].set(nv[:, :, 0])
+            # per-row depths (continuous batching): scatter each slot's
+            # fresh rows at its own cache depth — T rows land at
+            # depth_b..depth_b+T-1 (T > 1 = speculative verification
+            # blocks; rejected draft rows sit above the slot's accepted
+            # length and are overwritten before they're ever attended).
+            # cache.length is meaningless across heterogeneous slots —
+            # left untouched; the engine tracks per-slot lengths itself.
+            T = nk.shape[2]
+            bidx = jnp.arange(nk.shape[1])[:, None]
+            idx = cache_index[:, None] + jnp.arange(T)[None]
+            new_k = cache.k.at[:, bidx, idx].set(nk)
+            new_v = cache.v.at[:, bidx, idx].set(nv)
             if quant:
                 nks, nvs = rows[2:]
-                new_ks = cache.k_scale.at[:, bidx, cache_index].set(
-                    nks[:, :, 0])
-                new_vs = cache.v_scale.at[:, bidx, cache_index].set(
-                    nvs[:, :, 0])
+                new_ks = cache.k_scale.at[:, bidx, idx].set(nks)
+                new_vs = cache.v_scale.at[:, bidx, idx].set(nvs)
                 new_cache = KVCache(new_k, new_v, cache.length,
                                     new_ks, new_vs)
             else:
