@@ -174,6 +174,38 @@ def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
     return jnp.dot(xe, lo) + jnp.dot(xo, hi)
 
 
+def _int4_matmul_planes(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
+    """Mid-M int4 matmul via two bf16 MXU dots on the nibble planes:
+    x [M, K] -> [M, N] fp32.
+
+    The unpacked nibbles are INTEGERS in [-7, 7] — exact in bf16 — so
+    the planes feed the MXU as bf16 (fp32 accumulation) with the unpack
+    chain fused into the dot-operand load, and the per-column fp32
+    scale is applied ONCE to the [M, N] accumulator after the dots.
+    At 128 < M <= 1024 this beats both alternatives (measured, BENCH.md
+    round 3): the fp32 row-pair GEMM (:func:`_int4_gemv_xla`) runs its
+    dots off the bf16 MXU fast path, and the bf16-materialize route
+    writes + re-reads the full dequantized weight (622 MB for the 3B
+    untied head at the spec-verify M=320) and rounds scale*int to bf16
+    — the planes route touches no fp weight and is exact-int in the
+    dot (strictly tighter numerics than the materialize route).
+    """
+    K = q.logical_in
+    xe = x[:, 0:K:2].astype(jnp.bfloat16)
+    xo = x[:, 1:K:2].astype(jnp.bfloat16)
+    K2p = q.qweight.shape[0]
+    if K2p != K // 2:  # padded rows: zero x contribution
+        xe = jnp.pad(xe, ((0, 0), (0, K2p - K // 2)))
+        xo = jnp.pad(xo, ((0, 0), (0, K2p - K // 2)))
+    N = q.logical_out
+    qw = q.qweight[:, :N]
+    lo = ((qw & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+    hi = ((qw >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+    acc = (jnp.dot(xe, lo, preferred_element_type=jnp.float32)
+           + jnp.dot(xo, hi, preferred_element_type=jnp.float32))
+    return acc * q.scale[None, :N]
+
+
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
                  out_dtype=None) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
