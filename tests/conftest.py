@@ -7,6 +7,12 @@ jax.config.update *before* first backend use.
 """
 
 import os
+import tempfile
+
+# CLI drives under test must not drop timestamped logs into the repo
+# (utils/logging.setup_logging honors this override).
+os.environ.setdefault(
+    "VLM_CLIP_LOG_DIR", tempfile.mkdtemp(prefix="vlm_clip_tpu_logs_"))
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

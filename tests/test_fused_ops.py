@@ -311,6 +311,168 @@ def test_int4_xla_gemv_matches_dequant():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_int4_rowpair_gemm_mid_m_band_matches_dequant():
+    """The fused-XLA row-pair route now owns the whole 32 < M <= 1024
+    quant_matmul band (speculative verify / chunked prefill M; a bf16
+    nibble-plane alternative measured slightly slower at every band
+    point and was removed — BENCH.md round-4 mid-M table). Pin its
+    parity at a band-interior M with ragged K/N."""
+    from vlm_clip_tpu.ops.quant import (_int4_gemv_xla,
+                                        dequantize_weight,
+                                        quantize_weight)
+
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    K, N_, M = 130, 70, 320
+    w = jax.random.normal(ks[0], (K, N_), jnp.float32)
+    q = quantize_weight(w, bits=4)
+    x = jax.random.normal(ks[1], (M, K), jnp.float32)
+    got = _int4_gemv_xla(x, q)
+    assert got.shape == (M, N_)
+    ref = x @ dequantize_weight(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# NF4 (blockwise NormalFloat-4 + double quantization) — independent
+# numpy oracle implementing the bitsandbytes semantics from scratch
+# (reference model_v.py:46-51 quantizes the VLM with bnb NF4 + DQ).
+# ---------------------------------------------------------------------------
+
+_NF4_ORACLE_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534, 0.16093020141124725,
+    0.24611230194568634, 0.33791524171829224, 0.44070982933044434,
+    0.5626170039176941, 0.7229568362236023, 1.0], dtype=np.float32)
+
+
+def _nf4_oracle_roundtrip(w: np.ndarray, block=64, dq_group=256):
+    """Quantize-dequantize [in, out] with blockwise NF4 + double-quant
+    absmax, pure numpy (nearest code, ties up; absmax mean offset +
+    blockwise-256 symmetric int8 second level)."""
+    K, N = w.shape
+    pad = (-K) % block
+    wp = np.pad(w.astype(np.float32), ((0, pad), (0, 0)))
+    wb = wp.reshape(-1, block, N)
+    absmax = np.abs(wb).max(axis=1)                     # [nblk, N]
+    safe = np.where(absmax > 0, absmax, 1.0)
+    scaled = wb / safe[:, None, :]
+    mids = (_NF4_ORACLE_CODE[1:] + _NF4_ORACLE_CODE[:-1]) / 2
+    idx = (scaled[..., None] >= mids).sum(-1)           # nearest, ties up
+    # double-quantize absmax
+    flat = absmax.reshape(-1)
+    offset = flat.mean(dtype=np.float32)
+    centered = flat - offset
+    gpad = (-len(centered)) % dq_group
+    cg = np.pad(centered, (0, gpad)).reshape(-1, dq_group)
+    amax2 = np.abs(cg).max(axis=1)
+    scale2 = np.where(amax2 > 0, amax2 / 127.0, 1.0).astype(np.float32)
+    aq = np.clip(np.round(cg / scale2[:, None]), -127, 127)
+    adec = (aq * scale2[:, None]).reshape(-1)[:len(flat)] + offset
+    vals = _NF4_ORACLE_CODE[idx] * adec.reshape(absmax.shape)[:, None, :]
+    return vals.reshape(wp.shape)[:K], idx.reshape(wp.shape[0], N)[:K]
+
+
+def test_nf4_matches_numpy_oracle():
+    """quantize_nf4/dequantize_nf4 must reproduce the oracle exactly:
+    identical code indices AND identical dequantized values (both sides
+    compute in fp32 with the same rounding rules)."""
+    from vlm_clip_tpu.ops.nf4 import dequantize_nf4, quantize_nf4
+
+    rng = np.random.default_rng(3)
+    K, N_ = 200, 24  # ragged K: exercises block padding
+    w = (rng.normal(size=(K, N_)) * 0.04).astype(np.float32)
+    q = quantize_nf4(jnp.asarray(w))
+    assert (q.in_features, q.out_features) == (K, N_)
+    ref_w, ref_idx = _nf4_oracle_roundtrip(w)
+    # indices: unpack the row-pair nibbles
+    qw = np.asarray(q.qweight)
+    got_idx = np.stack([qw & 0xF, qw >> 4], axis=1).reshape(-1, N_)[:K]
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    got_w = np.asarray(dequantize_nf4(q))
+    np.testing.assert_allclose(got_w, ref_w, atol=1e-6, rtol=1e-6)
+
+
+def test_nf4_matmul_and_bias():
+    from vlm_clip_tpu.ops.nf4 import (dequantize_nf4, nf4_matmul,
+                                      quantize_nf4)
+
+    rng = np.random.default_rng(5)
+    K, N_, M = 128, 48, 9
+    w = (rng.normal(size=(K, N_)) * 0.04).astype(np.float32)
+    b = rng.normal(size=(N_,)).astype(np.float32)
+    q = quantize_nf4(jnp.asarray(w), bias=jnp.asarray(b))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    ref = np.asarray(x) @ np.asarray(dequantize_nf4(q)) + b
+    got = np.asarray(nf4_matmul(x, q))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_nf4_beats_symmetric_int4_on_gaussian_weights():
+    """The quality rationale for the preset: on normally-distributed
+    weights (what trained linear layers look like), blockwise NF4's
+    reconstruction RMSE must be well below per-channel symmetric
+    int4's — the codebook is matched to the weight distribution
+    (QLoRA §3). This pins the 'different error characteristics' gap
+    called out for the symmetric quantizer."""
+    from vlm_clip_tpu.ops.nf4 import dequantize_nf4, quantize_nf4
+    from vlm_clip_tpu.ops.quant import dequantize_weight, quantize_weight
+
+    rng = np.random.default_rng(7)
+    w = (rng.normal(size=(512, 64)) * 0.02).astype(np.float32)
+    err_nf4 = np.asarray(dequantize_nf4(quantize_nf4(jnp.asarray(w)))) - w
+    err_i4 = np.asarray(
+        dequantize_weight(quantize_weight(jnp.asarray(w), bits=4))) - w
+    rmse_nf4 = float(np.sqrt((err_nf4 ** 2).mean()))
+    rmse_i4 = float(np.sqrt((err_i4 ** 2).mean()))
+    assert rmse_nf4 < 0.8 * rmse_i4, (rmse_nf4, rmse_i4)
+
+
+def test_nf4_stacked_layers_and_qwen_preset():
+    """vmapped NF4 quantization (scanned layer stacks) slices per layer
+    correctly, and quantize_qwen_params(bits='nf4') produces a model
+    whose logits track the fp model."""
+    from vlm_clip_tpu.ops.nf4 import NF4Linear, dequantize_nf4, quantize_nf4
+    from vlm_clip_tpu.vlm.qwen_convert import quantize_qwen_params
+    from vlm_clip_tpu.vlm.qwen_model import (QwenTextConfig, init_text,
+                                             text_forward)
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 128, 40),
+                          jnp.float32) * 0.05
+    q = jax.vmap(quantize_nf4)(w)
+    assert isinstance(q, NF4Linear)
+    layer1 = jax.tree.map(lambda a: a[1], q)
+    single = quantize_nf4(w[1])
+    np.testing.assert_array_equal(np.asarray(layer1.qweight),
+                                  np.asarray(single.qweight))
+    np.testing.assert_allclose(np.asarray(dequantize_nf4(layer1)),
+                               np.asarray(dequantize_nf4(single)),
+                               atol=1e-7)
+
+    tcfg = QwenTextConfig(hidden_size=64, intermediate_size=128,
+                          num_layers=2, num_heads=4, num_kv_heads=2,
+                          head_dim=16, vocab_size=97,
+                          rope_theta=10_000.0, mrope_section=(4, 2, 2))
+    params = init_text(jax.random.PRNGKey(2), tcfg)
+    qparams = quantize_qwen_params({"text": params}, bits="nf4")["text"]
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 7), 0, 97)
+    pos = jnp.broadcast_to(jnp.arange(7)[None, None], (3, 2, 7))
+    emb = params["embed_tokens"][ids]
+    mask = jnp.where(jnp.tril(jnp.ones((7, 7), bool))[None, None],
+                     0.0, -3.4e38)
+    ref, _ = text_forward(params, emb, pos, tcfg, mask)
+    got, _ = text_forward(qparams, emb, pos, tcfg, mask)
+    err_nf4 = float(jnp.mean(jnp.abs(got - ref)))
+    assert err_nf4 < 0.5 * float(jnp.mean(jnp.abs(ref)))
+    # and end-to-end NF4 logit error must not exceed symmetric int4's
+    # (the per-weight RMSE win should survive the network)
+    i4params = quantize_qwen_params({"text": params}, bits=4)["text"]
+    got_i4, _ = text_forward(i4params, emb, pos, tcfg, mask)
+    err_i4 = float(jnp.mean(jnp.abs(got_i4 - ref)))
+    assert err_nf4 < err_i4, (err_nf4, err_i4)
+
+
 def test_quantized_linear_stacked_keeps_logical_dims():
     """vmapped quantization (scanned layer stacks) must carry the
     logical in/out features through the pytree aux, and per-layer scan

@@ -1,0 +1,209 @@
+"""NF4 (NormalFloat-4) blockwise quantization with double quantization.
+
+The reference quantizes the Qwen VLM with bitsandbytes NF4 + double
+quantization (``load_in_4bit, bnb_4bit_quant_type="nf4",
+bnb_4bit_use_double_quant=True``, model_v.py:46-51). The symmetric int4
+quantizer in ops/quant.py is a different quantizer with different error
+characteristics: its 15 levels are uniform, while NF4's 16 levels are
+the quantiles of N(0, 1) — information-theoretically matched to
+normally-distributed weights (QLoRA, Dettmers et al. 2023). On gaussian
+weights NF4's RMS error is ~25-30% lower than symmetric int4 at the
+same bit width (pinned by tests/test_fused_ops.py), which is the
+quality rationale for shipping it as a preset.
+
+Semantics implemented here (hermetically parity-tested against an
+independent numpy oracle in tests/test_fused_ops.py):
+
+- blockwise absmax scaling: blocks of ``block`` (default 64, the
+  bitsandbytes default) consecutive INPUT elements per output column
+  of the [in, out] kernel; each block is divided by its absmax and
+  every element rounded to the NEAREST of the 16 :data:`NF4_CODE`
+  values (ties to the higher code);
+- double quantization of the absmax tensor: subtract its mean
+  (``dq_offset``), then blockwise-256 symmetric int8 with fp32
+  second-level scales — absmax storage drops 32 -> ~8.5 bits/block;
+- storage: two NF4 indices per byte, row-pair packed exactly like
+  ops/quant.py int4 (even input rows in the low nibble) so the unpack
+  is a pure elementwise chain XLA fuses into consumers.
+
+Blocking runs along the input dim of OUR [in, out] kernel layout
+(bitsandbytes blocks the flattened torch [out, in] weight — same
+quantizer, transposed storage order; error statistics are identical
+because blocks see the same per-output-row values).
+
+Matmul: the codebook lookup is a 16-entry gather, which XLA does NOT
+fuse into a dot operand the way it fuses the int8/int4 arithmetic
+dequant — NF4 matmuls therefore materialize the dequantized bf16
+weight per call. That makes NF4 a QUALITY preset, not a speed preset:
+decode streams ~4x the bytes of the fused int4 route (A/B in BENCH.md
+round 4). Use ``quant_bits="nf4"`` where NF4-faithful numerics matter
+and int8/int4 where throughput does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The 16 NF4 values: quantiles of N(0,1) normalized to [-1, 1], exactly
+# bitsandbytes' NF4 data type (functional.py create_normal_map / CUDA
+# kNF4Data table). Index 7 is exactly 0.0 (zero is representable).
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534, 0.16093020141124725,
+    0.24611230194568634, 0.33791524171829224, 0.44070982933044434,
+    0.5626170039176941, 0.7229568362236023, 1.0], dtype=np.float32)
+
+# decision boundaries for nearest-code rounding (15 midpoints)
+_NF4_MID = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0
+
+NF4_BLOCK = 64        # first-level block (bitsandbytes default)
+NF4_DQ_GROUP = 256    # second-level (double-quant) group size
+
+
+@dataclasses.dataclass
+class NF4Linear:
+    """Blockwise NF4 weight + double-quantized absmax.
+
+    ``qweight``: packed uint8 [in_p/2, out] — two NF4 code indices per
+    byte, row-pair packed (even logical input rows in the low nibble).
+    ``absmax_q``: int8 [in_p/block, out] — double-quantized block
+    absmax. ``dq_scale``: fp32 [ceil(nblk*out/256)] second-level
+    scales. ``dq_offset``: fp32 scalar (mean of the absmax tensor).
+    ``in_features``/``out_features`` keep the logical shape (the input
+    dim is zero-padded to a multiple of ``block``).
+    """
+    qweight: jnp.ndarray
+    absmax_q: jnp.ndarray
+    dq_scale: jnp.ndarray
+    dq_offset: jnp.ndarray
+    bias: Optional[jnp.ndarray] = None
+    in_features: int = 0
+    out_features: int = 0
+    block: int = NF4_BLOCK
+
+    def tree_flatten_with_keys(self):
+        ga = jax.tree_util.GetAttrKey
+        return ((ga("qweight"), self.qweight),
+                (ga("absmax_q"), self.absmax_q),
+                (ga("dq_scale"), self.dq_scale),
+                (ga("dq_offset"), self.dq_offset),
+                (ga("bias"), self.bias)), \
+            (self.in_features, self.out_features, self.block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qweight, absmax_q, dq_scale, dq_offset, bias = children
+        return cls(qweight=qweight, absmax_q=absmax_q, dq_scale=dq_scale,
+                   dq_offset=dq_offset, bias=bias, in_features=aux[0],
+                   out_features=aux[1], block=aux[2])
+
+    @property
+    def logical_in(self) -> int:
+        return self.in_features
+
+    @property
+    def logical_out(self) -> int:
+        return self.out_features
+
+
+jax.tree_util.register_pytree_with_keys_class(NF4Linear)
+
+
+def _nearest_code(scaled: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] values -> nearest NF4_CODE index (ties to the higher
+    code). 15 broadcast compares instead of a [.., 16] distance tensor:
+    conversion of a 3B checkpoint would otherwise build ~20 GB of
+    temporaries."""
+    idx = jnp.zeros(scaled.shape, jnp.uint8)
+    for m in _NF4_MID:
+        idx = idx + (scaled >= jnp.float32(m)).astype(jnp.uint8)
+    return idx
+
+
+def quantize_nf4(w: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                 block: int = NF4_BLOCK) -> NF4Linear:
+    """fp weight [in, out] -> NF4Linear (blockwise NF4 + double quant)."""
+    if block % 2:
+        raise ValueError(f"block must be even (row-pair packing), "
+                         f"got {block}")
+    w = jnp.asarray(w, jnp.float32)
+    K, N = w.shape
+    pad = (-K) % block
+    if pad:
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    Kp = K + pad
+    nblk = Kp // block
+
+    wb = w.reshape(nblk, block, N)
+    absmax = jnp.max(jnp.abs(wb), axis=1)                   # [nblk, N]
+    safe = jnp.where(absmax > 0, absmax, 1.0)
+    idx = _nearest_code(wb / safe[:, None, :])              # [nblk, b, N]
+    idx = idx.reshape(Kp, N)
+    lo = idx[0::2, :]
+    hi = idx[1::2, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)             # [Kp/2, N]
+
+    # double quantization of absmax: mean offset + blockwise-256 int8
+    flat = absmax.reshape(-1)
+    offset = jnp.mean(flat)
+    centered = flat - offset
+    gpad = (-centered.shape[0]) % NF4_DQ_GROUP
+    cg = jnp.pad(centered, (0, gpad)).reshape(-1, NF4_DQ_GROUP)
+    amax2 = jnp.max(jnp.abs(cg), axis=1)
+    scale2 = jnp.where(amax2 > 0, amax2 / 127.0, 1.0)       # [ngroups]
+    aq = jnp.clip(jnp.round(cg / scale2[:, None]), -127, 127)
+    absmax_q = aq.reshape(-1)[:flat.shape[0]].reshape(
+        nblk, N).astype(jnp.int8)
+
+    return NF4Linear(packed, absmax_q, scale2.astype(jnp.float32),
+                     offset.astype(jnp.float32), bias, K, N, block)
+
+
+def _dequant_absmax(q: NF4Linear) -> jnp.ndarray:
+    """[nblk, out] fp32 block absmax from the double-quantized form."""
+    nblk, N = q.absmax_q.shape
+    flat = q.absmax_q.reshape(-1).astype(jnp.float32)
+    gpad = (-flat.shape[0]) % NF4_DQ_GROUP
+    fg = jnp.pad(flat, (0, gpad)).reshape(-1, NF4_DQ_GROUP)
+    dec = fg * q.dq_scale[:, None]
+    return (dec.reshape(-1)[:nblk * N].reshape(nblk, N)
+            + q.dq_offset)
+
+
+def dequantize_nf4(q: NF4Linear, dtype=jnp.float32) -> jnp.ndarray:
+    """NF4Linear -> dense [in_features, out_features] weight."""
+    code = jnp.asarray(NF4_CODE)
+    lo = code[(q.qweight & 0xF).astype(jnp.int32)]   # even rows
+    hi = code[(q.qweight >> 4).astype(jnp.int32)]    # odd rows
+    Kp2, N = q.qweight.shape
+    vals = jnp.stack([lo, hi], axis=1).reshape(2 * Kp2, N)
+    absmax = _dequant_absmax(q)                      # [nblk, N]
+    w = (vals.reshape(-1, q.block, N) * absmax[:, None, :]).reshape(
+        2 * Kp2, N)
+    return w[:q.in_features, :q.out_features].astype(dtype)
+
+
+def nf4_matmul(x: jnp.ndarray, q: NF4Linear, out_dtype=None
+               ) -> jnp.ndarray:
+    """x [.., in] @ dequant(q) [in, out] (+bias), fp32 accumulation.
+
+    The 16-entry codebook gather does not fuse into XLA dot operands
+    (unlike the int8/int4 arithmetic dequants in ops/quant.py), so the
+    dequantized weight materializes per call — bf16 on TPU to halve
+    that traffic and ride the MXU, fp32 elsewhere (parity tests). See
+    the module docstring for the speed/quality positioning vs int4.
+    """
+    mat_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+        else jnp.float32
+    w = dequantize_nf4(q, mat_dtype)
+    y = jnp.dot(x.astype(mat_dtype), w,
+                preferred_element_type=jnp.float32)
+    if q.bias is not None:
+        y = y + q.bias.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)

@@ -174,38 +174,6 @@ def _int4_gemv_xla(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
     return jnp.dot(xe, lo) + jnp.dot(xo, hi)
 
 
-def _int4_matmul_planes(x: jnp.ndarray, q: QuantizedLinear) -> jnp.ndarray:
-    """Mid-M int4 matmul via two bf16 MXU dots on the nibble planes:
-    x [M, K] -> [M, N] fp32.
-
-    The unpacked nibbles are INTEGERS in [-7, 7] — exact in bf16 — so
-    the planes feed the MXU as bf16 (fp32 accumulation) with the unpack
-    chain fused into the dot-operand load, and the per-column fp32
-    scale is applied ONCE to the [M, N] accumulator after the dots.
-    At 128 < M <= 1024 this beats both alternatives (measured, BENCH.md
-    round 3): the fp32 row-pair GEMM (:func:`_int4_gemv_xla`) runs its
-    dots off the bf16 MXU fast path, and the bf16-materialize route
-    writes + re-reads the full dequantized weight (622 MB for the 3B
-    untied head at the spec-verify M=320) and rounds scale*int to bf16
-    — the planes route touches no fp weight and is exact-int in the
-    dot (strictly tighter numerics than the materialize route).
-    """
-    K = q.logical_in
-    xe = x[:, 0:K:2].astype(jnp.bfloat16)
-    xo = x[:, 1:K:2].astype(jnp.bfloat16)
-    K2p = q.qweight.shape[0]
-    if K2p != K // 2:  # padded rows: zero x contribution
-        xe = jnp.pad(xe, ((0, 0), (0, K2p - K // 2)))
-        xo = jnp.pad(xo, ((0, 0), (0, K2p - K // 2)))
-    N = q.logical_out
-    qw = q.qweight[:, :N]
-    lo = ((qw & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-    hi = ((qw >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-    acc = (jnp.dot(xe, lo, preferred_element_type=jnp.float32)
-           + jnp.dot(xo, hi, preferred_element_type=jnp.float32))
-    return acc * q.scale[None, :N]
-
-
 def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
                  out_dtype=None) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias). fp32 accumulation.
@@ -214,14 +182,24 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
     passes float32 so logits keep full accumulator precision (the tied
     head never rounds; sampling cutoffs must match it).
 
-    int4 on TPU routes by shape (all three measured, BENCH.md round 2):
+    int4 on TPU routes by shape (measured, BENCH.md rounds 2 and 4):
     - GEMV (M <= 32), wide N: Pallas tiled kernel with in-VMEM unpack —
       streams the pre-padded weight at ~250-530 GB/s;
     - GEMV, narrow N: fused-XLA row-pair (:func:`_int4_gemv_xla`) — the
       Pallas per-call overhead (~20 us) loses to XLA's fused GEMV there;
-    - prefill (M > 32): materialized bf16 dequant + MXU dot — the matmul
-      is compute-bound, and the Pallas kernel's 8-row M tiles would
-      re-stream the whole weight per M tile.
+    - 32 < M <= 1024 (large decode batches, speculative verify,
+      chunked prefill): the same fused-XLA row-pair formulation as a
+      GEMM — weight streamed once, unpack fused into the dot operand.
+      On the 3B untied head it runs 2.3/3.1/5.1 ms at M=320/512/1024
+      vs the materialize route's flat ~17 ms (round 4). A bf16
+      nibble-plane variant (two bf16 MXU dots, scale applied to the
+      accumulator) was built and measured for this band and LOST
+      slightly at every point (2.5/3.6/5.0 ms) with looser input
+      numerics, so it was removed — the fp32 row-pair dots already
+      ride the MXU via XLA's precision splitting;
+    - prefill (M > 1024): materialized bf16 dequant + MXU dot — the
+      matmul is compute-bound, and re-unpacking nibbles per M tile
+      costs more than one weight materialization.
     """
     if q.bits == 4 and jax.default_backend() == "tpu" and x.ndim == 2:
         M = x.shape[0]
@@ -230,13 +208,14 @@ def quant_matmul(x: jnp.ndarray, q: QuantizedLinear,
             y = quant_matmul_pallas_int4(x, q.qweight, q.scale,
                                          out_features=q.logical_out,
                                          in_features=q.logical_in)
-        elif M <= 128:
-            # mid-M (large decode batches): the fused-XLA row-pair GEMM
-            # streams the packed weight once with the unpack fused into
-            # the dot operand; the bf16-dequant route would materialize
-            # the full weight, and the Pallas kernel's 8-row M tiles
-            # would re-stream it M/8 times (B=64 measured 2.3k -> see
-            # BENCH round 2 batched-decode scaling)
+        elif M <= 1024:
+            # mid-M (large decode batches / speculative verify /
+            # chunked prefill): the fused-XLA row-pair GEMM streams the
+            # packed weight once with the unpack fused into the dot
+            # operand; the bf16-dequant route would materialize the
+            # full weight (~17 ms flat on the 3B head, round-4 table),
+            # and the Pallas kernel's 8-row M tiles would re-stream it
+            # M/8 times (B=64 measured 2.3k -> BENCH round 2)
             y = _int4_gemv_xla(x, q)
         else:
             w = dequantize_weight(q).astype(jnp.bfloat16)

@@ -19,8 +19,15 @@ def setup_logging(log_dir: str = "logs", name: str = "training",
                   level: int = logging.INFO) -> str:
     """File + console handlers; on multi-process runs only process 0
     gets handlers (others return "" and stay at WARNING), so a pod
-    doesn't write N copies of every line."""
+    doesn't write N copies of every line.
+
+    ``VLM_CLIP_LOG_DIR`` overrides ``log_dir`` when set — test/CI
+    harnesses point it at a tmp dir so CLI drives never drop
+    timestamped logs into the checked-out repo (default stays ``logs/``
+    for reference parity, main.py:33-52)."""
     from vlm_clip_tpu.parallel.distributed import is_primary
+
+    log_dir = os.environ.get("VLM_CLIP_LOG_DIR", log_dir)
 
     root = logging.getLogger()
     try:

@@ -10,6 +10,7 @@ loaded without torch. HF name roots handled: ``model.language_model.*`` /
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -184,9 +185,11 @@ def quantize_qwen_params(params: Dict[str, Any], bits=8,
     fp. Mirrors the reference's 4-bit-everything bitsandbytes policy
     (model_v.py:46-51) with int8/int4.
 
-    ``bits``: an int, or a {path-substring: bits} mapping with a
-    "default" key (e.g. :data:`MIXED_DECODE_BITS`) matched against
-    slash-joined pytree paths like ``text/layers/mlp/gate``.
+    ``bits``: an int, the string ``"nf4"`` (blockwise NF4 + double
+    quantization — the faithful bitsandbytes-semantics preset,
+    ops/nf4.py), or a {path-substring: bits} mapping with a "default"
+    key (e.g. :data:`MIXED_DECODE_BITS`) matched against slash-joined
+    pytree paths like ``text/layers/mlp/gate``.
     ``head_bits``: if nonzero, additionally quantize the (tied) LM head
     from ``embed_tokens.T`` into an untied ``lm_head`` — the bf16 tied
     head streams 0.62 GB/token, the single largest decode tensor. The
@@ -207,8 +210,8 @@ def quantize_qwen_params(params: Dict[str, Any], bits=8,
         params["text"]["layers"] = _fuse_decode_layers(
             params["text"]["layers"])
 
-    def bits_for(path: str) -> int:
-        if isinstance(bits, int):
+    def bits_for(path: str):
+        if isinstance(bits, (int, str)):
             return bits
         for key, b in bits.items():
             if key != "default" and key in path:
@@ -219,6 +222,13 @@ def quantize_qwen_params(params: Dict[str, Any], bits=8,
         b = bits_for(path)
         kernel = node["kernel"]
         bias = node.get("bias")
+        if b == "nf4":
+            from vlm_clip_tpu.ops.nf4 import quantize_nf4
+
+            if kernel.ndim == 2:
+                return quantize_nf4(kernel, bias)
+            q = jax.vmap(quantize_nf4)(kernel)
+            return dataclasses.replace(q, bias=bias)
         if kernel.ndim == 2:
             return quantize_weight(kernel, b, bias)
         # stacked per-layer kernels [L, in, out]: vmap the quantizer
@@ -246,5 +256,10 @@ def quantize_qwen_params(params: Dict[str, Any], bits=8,
     if head_bits and "text" in out and "lm_head" not in out["text"]:
         head_w = jnp.transpose(params["text"]["embed_tokens"]
                                ).astype(jnp.float32)
-        out["text"]["lm_head"] = quantize_weight(head_w, head_bits)
+        if head_bits == "nf4":
+            from vlm_clip_tpu.ops.nf4 import quantize_nf4
+
+            out["text"]["lm_head"] = quantize_nf4(head_w)
+        else:
+            out["text"]["lm_head"] = quantize_weight(head_w, head_bits)
     return out

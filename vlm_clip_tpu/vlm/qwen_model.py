@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlm_clip_tpu.ops.nf4 import NF4Linear, nf4_matmul
 from vlm_clip_tpu.ops.quant import QuantizedLinear, quant_matmul
 
 Params = Dict[str, Any]
@@ -99,10 +100,10 @@ def linear(p, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """fp {'kernel'[,'bias']} or QuantizedLinear. ``out_dtype``
     overrides the x.dtype output cast (the LM head passes float32 so
     logits never round through bf16 on the way to sampling)."""
-    if isinstance(p, QuantizedLinear):
+    if isinstance(p, (QuantizedLinear, NF4Linear)):
         shape = x.shape
-        y = quant_matmul(x.reshape(-1, shape[-1]), p,
-                         out_dtype=out_dtype)
+        mm = nf4_matmul if isinstance(p, NF4Linear) else quant_matmul
+        y = mm(x.reshape(-1, shape[-1]), p, out_dtype=out_dtype)
         return y.reshape(*shape[:-1], -1)
     y = jnp.dot(x, p["kernel"].astype(x.dtype),
                 preferred_element_type=jnp.float32)
