@@ -93,7 +93,6 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
     """
     n = tokens.shape[0]
     buf0 = jnp.full((n, k_steps), eos, jnp.int32)
-    cols = jnp.arange(cache.k.shape[2])
 
     def body(i, st):
         (cache, tokens, pos, lengths, done, remaining, presence,
@@ -108,10 +107,10 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
 
         emb = params["embed_tokens"][tokens][:, None]
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1))
-        mask = jnp.where(cols[None] <= lengths[:, None],
-                         0.0, -_NEG)[:, None, None, :]
+        # mask=None = canonical decode mask (cache cols < lengths +
+        # self): routes the streaming fused decode-attention kernel
         logits, cache = text_forward(
-            params, emb.astype(dtype), pos3, tcfg, mask,
+            params, emb.astype(dtype), pos3, tcfg, None,
             cache, lengths, kv_read_span=span)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[:, -1], presence, sub, scfg)
@@ -156,7 +155,6 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
     cap = k_rounds * (K + 1)
     H = hist.shape[1] - 1
     buf0 = jnp.full((n, cap + 1), eos, jnp.int32)  # last col = scrap
-    cols = jnp.arange(cache.k.shape[2])
     bidx = jnp.arange(n)
 
     def body(_, st):
@@ -179,10 +177,10 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
         emb = params["embed_tokens"][inp]
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, n, 1)) \
             + jnp.arange(K + 1)[None, None]
-        mask = jnp.where(cols[None] <= lengths[:, None],
-                         0.0, -_NEG)[:, None, None, :]
+        # mask=None = canonical decode mask (cache cols < lengths +
+        # causal fresh triangle over the verify block)
         logits, cache = text_forward(
-            params, emb.astype(dtype), pos3, tcfg, mask, cache,
+            params, emb.astype(dtype), pos3, tcfg, None, cache,
             lengths, kv_read_span=span)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

@@ -202,11 +202,11 @@ class QwenVLGenerator:
             written at cache row ``length`` (= tokens already cached)."""
             emb = params["embed_tokens"][tokens][:, None]  # [B, 1, H]
             position_ids = jnp.broadcast_to(pos, (3,))[:, None, None]
-            cols = jnp.arange(cache.k.shape[2])
-            mask = jnp.where((cols <= length)[None, None, None], 0.0,
-                             -3.4028235e38)
+            # mask=None = the canonical decode mask (cache cols <=
+            # length), built inside text_forward from the depth instead
+            # of materialized here per step
             logits, cache = text_forward(params, emb.astype(self.dtype),
-                                         position_ids, tcfg, mask, cache,
+                                         position_ids, tcfg, None, cache,
                                          length)
             return logits[:, -1], cache  # fp32 [B, V]
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlm_clip_tpu.ops.decode_attention import decode_attention
 from vlm_clip_tpu.ops.nf4 import NF4Linear, nf4_matmul
 from vlm_clip_tpu.ops.quant import QuantizedLinear, quant_matmul
 
@@ -299,8 +300,20 @@ def _gqa_attention_cached(q, k_old, v_old, k_cur, v_cur, mask,
     causal triangle, so fresh position i attends cache cols < depth_b
     plus fresh cols <= i — exactly the vanilla step-by-step attended
     set for each position.
+
+    ``mask=None`` = the CANONICAL decode mask (cache cols < depth_b +
+    causal fresh triangle — exactly what every decode caller used to
+    construct as ``cols <= lengths``): dispatches to
+    ops/decode_attention.py, which builds the mask from depths inside
+    jit (XLA batched-GEMM route by default; the streaming Pallas
+    kernel there is a measured negative result, opt-in only).
     """
     B, T, h, d = q.shape
+    if mask is None:
+        depths = cache_index if jnp.ndim(cache_index) == 1 \
+            else jnp.broadcast_to(cache_index, (B,))
+        return decode_attention(q, k_old, v_old, k_cur, v_cur, depths,
+                                k_scale, v_scale)
     S = k_old.shape[1]
     rep = h // num_kv_heads
     qg = q.reshape(B, T, num_kv_heads, rep, d)
@@ -412,7 +425,17 @@ def text_decoder_layer(p, x, cos, sin, mask, cfg: QwenTextConfig,
                     cvs, v_sc, (0, cache_index, 0))
             else:
                 cks2 = cvs2 = None
-            attn = _gqa_attention(q, ck2, cv2, mask,
+            if mask is None:
+                # canonical decode mask on the write-then-attend cache:
+                # fresh row t sits at col cache_index + t and attends
+                # cols <= cache_index + t
+                cols2 = jnp.arange(ck.shape[1])
+                dmask = jnp.where(
+                    cols2[None, :] <= cache_index + jnp.arange(T)[:, None],
+                    0.0, -3.4028235e38)[None, None]
+            else:
+                dmask = mask
+            attn = _gqa_attention(q, ck2, cv2, dmask,
                                   cfg.num_heads, cfg.num_kv_heads,
                                   k_scale=cks2, v_scale=cvs2)
         else:
@@ -442,7 +465,11 @@ def text_forward(params: Params, embeds: jnp.ndarray,
     """embeds [B, T, H] -> (logits [B, T, V], updated cache).
 
     ``position_ids`` [3, B, T]. With a cache, ``mask`` must cover the full
-    cache length [B|1, 1, T, maxlen].
+    cache length [B|1, 1, T, maxlen] — or be ``None`` for the CANONICAL
+    decode mask (attend cache cols < depth, causal fresh triangle;
+    identical to the ``cols <= lengths`` masks the decode loops used to
+    build), constructed from the depths inside jit
+    (ops/decode_attention.py).
 
     ``cache_index`` is the row every layer's fresh K/V lands at: a
     scalar (all rows at the same depth — the generate() paths), or a
@@ -491,7 +518,8 @@ def text_forward(params: Params, embeds: jnp.ndarray,
                                  or span > cache.k.shape[2]):
             raise ValueError("kv_read_span requires a per-row vector "
                              "cache_index and span <= max_len")
-        rmask = mask if span is None else mask[..., :span]
+        rmask = mask if span is None or mask is None \
+            else mask[..., :span]
 
         def body(h, inputs):
             lp, ck, cv = inputs[:3]
