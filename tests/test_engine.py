@@ -194,3 +194,81 @@ def test_engine_submit_overflow_raises(fixture):
     eng = ContinuousBatchingEngine(gen, n_slots=1)
     with pytest.raises(ValueError, match="max_len"):
         eng.submit(ids, visions[0], max_new_tokens=64)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (round 4): the engine under a ('model',) mesh
+# ---------------------------------------------------------------------------
+
+def _tp_mesh(n):
+    import jax
+
+    from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+    return create_mesh(MeshConfig(data=1, model=n), jax.devices()[:n])
+
+
+def test_engine_tp2_matches_single_device(fixture):
+    """Engine on a model=2 mesh (weights TP-sharded, slot state
+    replicated): token-identical to the unsharded engine across slot
+    reuse and staggered budgets — the multi-device serving surface the
+    reference gets from device_map='auto' (model_v.py:55)."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 4, seed=31)
+    budgets = [5, 3, 6, 4]
+
+    gen_ref = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    ref_eng = ContinuousBatchingEngine(gen_ref, n_slots=2, sync_steps=3,
+                                       refill_chunks=(2, 1))
+    ref_ids = [ref_eng.submit(ids, v, max_new_tokens=m)
+               for v, m in zip(visions, budgets)]
+    want = ref_eng.flush()
+
+    gen_tp = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen_tp, n_slots=2, sync_steps=3,
+                                   refill_chunks=(2, 1),
+                                   mesh=_tp_mesh(2))
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    got = eng.flush()
+    for rid, wid in zip(rids, ref_ids):
+        assert got[rid] == want[wid], (got[rid], want[wid])
+
+
+def test_engine_tp2_speculative_sampled(fixture):
+    """spec_k + the sampled checkpoint-style config + TP compose: the
+    verify forward (T=K+1) and the warper chain run as one GSPMD
+    program; outputs stay valid and within budget."""
+    cfg, params = fixture
+    scfg = SamplingConfig(do_sample=True, temperature=1.1, top_k=8,
+                          top_p=0.95, repetition_penalty=1.05)
+    ids, visions = _requests(cfg, 2, seed=12)
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   sampling=scfg, spec_k=2,
+                                   refill_chunks=(2, 1),
+                                   mesh=_tp_mesh(2))
+    rids = [eng.submit(ids, v, max_new_tokens=6) for v in visions]
+    got = eng.flush()
+    for rid in rids:
+        assert 0 < len(got[rid]) <= 6
+        assert all(0 <= t < VOCAB for t in got[rid])
+
+
+def test_lm_head_tp_rules():
+    """The untied lm head must shard on the vocab dim (fp and
+    quantized), the tied embedding stays replicated."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from vlm_clip_tpu.ops.quant import quantize_weight
+    from vlm_clip_tpu.parallel.sharding import (partition_specs,
+                                                qwen_param_rules)
+
+    head = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (64, 256)), np.float32)
+    tree = {"text": {"lm_head": quantize_weight(jnp.asarray(head), 8),
+                     "embed_tokens": jnp.zeros((256, 64))}}
+    specs = partition_specs(tree, rules=qwen_param_rules())
+    assert specs["text"]["lm_head"].qweight == P(None, "model")
+    assert specs["text"]["lm_head"].scale == P("model")
+    assert specs["text"]["embed_tokens"] == P()

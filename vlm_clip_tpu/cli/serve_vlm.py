@@ -177,7 +177,7 @@ def build_engine(weights: Optional[str], allow_synth: bool,
                  quant_bits="8h4", kv_bits: int = 16, max_len: int = 768,
                  slots: int = 32, sync_steps: int = 16,
                  resolution: int = 448, sampling=None,
-                 refill_chunks=(8, 1), spec_k: int = 0):
+                 refill_chunks=(8, 1), spec_k: int = 0, tp: int = 1):
     """Returns (engine, prep_fn, tokenizer, mode).
 
     Real weights: the QwenVLContextExtractor loading contract
@@ -251,18 +251,23 @@ def build_engine(weights: Optional[str], allow_synth: bool,
 
     gen = QwenVLGenerator(params, cfg, max_len=max_len, kv_bits=kv_bits)
     gen.u8_patches = True
-    if spec_k and sampling is not None and (
-            sampling.do_sample or sampling.needs_presence):
-        raise SystemExit(
-            "--spec-k requires deterministic decoding, but the "
-            "checkpoint's generation_config enables sampling/"
-            "repetition-penalty — pass an explicit greedy sampling "
-            "config to combine them")
+    mesh = None
+    if tp > 1:
+        import jax
+
+        from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+        devs = jax.devices()
+        if len(devs) < tp:
+            raise SystemExit(
+                f"--tp {tp} needs {tp} devices, found {len(devs)} "
+                f"({devs}); for a virtual mesh set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={tp}")
+        mesh = create_mesh(MeshConfig(data=1, model=tp), devs[:tp])
     engine = ContinuousBatchingEngine(gen, n_slots=slots,
                                       sync_steps=sync_steps,
                                       sampling=sampling,
                                       refill_chunks=refill_chunks,
-                                      spec_k=spec_k)
+                                      spec_k=spec_k, mesh=mesh)
 
     rng = np.random.default_rng(0)
     synth_tail = rng.integers(1, 10000, 24).tolist()
@@ -301,9 +306,17 @@ def main(argv=None) -> None:
     p.add_argument("--bits", default="8h4",
                    choices=("4", "8", "8h4", "mixed"))
     p.add_argument("--size", type=int, default=448)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard the VLM weights "
+                        "over a ('model',) mesh of this many devices "
+                        "(Megatron-style rules, XLA collectives; the "
+                        "rebuild of the reference's device_map='auto' "
+                        "multi-GPU placement)")
     p.add_argument("--spec-k", type=int, default=0,
-                   help="n-gram speculative decoding (greedy-exact; "
-                        "refuses sampled generation configs)")
+                   help="n-gram speculative decoding (lossless: "
+                        "token-identical under greedy, distribution-"
+                        "identical under sampled configs incl. the "
+                        "checkpoint default)")
     args = p.parse_args(argv)
 
     bits = args.bits if args.bits in ("mixed", "8h4") else int(args.bits)
@@ -311,7 +324,7 @@ def main(argv=None) -> None:
         args.weights, args.allow_synth_weights, quant_bits=bits,
         kv_bits=args.kv_bits, max_len=args.max_len, slots=args.slots,
         sync_steps=args.sync_steps, resolution=args.size,
-        spec_k=args.spec_k)
+        spec_k=args.spec_k, tp=args.tp)
     worker = EngineWorker(engine)
     srv = ThreadingHTTPServer(("0.0.0.0", args.port),
                               make_vlm_handler(worker, prep_fn, tokenizer,

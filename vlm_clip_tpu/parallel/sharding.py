@@ -79,6 +79,15 @@ QWEN_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"(?:.*/)?blocks/mlp/(gate|up)/(bias|scale)$", P(None, MODEL_AXIS)),
     (r"(?:.*/)?blocks/mlp/down/(kernel|qweight)$",
      P(None, MODEL_AXIS, None)),
+    # untied lm head [H, V]: shard the vocab dim — it is the single
+    # largest decode-streamed tensor (0.62 GB/token bf16 at 3B) and the
+    # per-shard logits reduce via one tiny all-gather at [B, V/m].
+    # scale is per-output-channel [V] -> shards with the vocab dim.
+    # (The TIED embedding head stays replicated: embed_tokens is also a
+    # gather table and vocab-sharding it turns every embedding lookup
+    # into a collective.)
+    (r"(?:.*/)?lm_head/(kernel|qweight)$", P(None, MODEL_AXIS)),
+    (r"(?:.*/)?lm_head/scale$", P(MODEL_AXIS)),
     (r".*", P()),
 )
 

@@ -127,23 +127,25 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_rounds", "spec_k", "span", "tcfg",
-                              "stops", "eos", "dtype"),
+    jax.jit, static_argnames=("k_rounds", "spec_k", "span", "scfg",
+                              "tcfg", "stops", "eos", "dtype"),
     donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                     "remaining", "hist", "gen_count"))
+                     "remaining", "hist", "gen_count", "presence"))
 def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
-                       remaining, hist, gen_count, *, k_rounds, spec_k,
-                       span, tcfg, stops, eos, dtype):
-    """k_rounds speculative verify rounds over every slot (greedy only).
+                       remaining, hist, gen_count, presence, key, *,
+                       k_rounds, spec_k, span, scfg, tcfg, stops, eos,
+                       dtype):
+    """k_rounds speculative verify rounds over every slot.
 
     Each round mirrors one vanilla step — record the carried token,
     forward, carry the sample — except the forward consumes
     [carried, draft_1..draft_K] (T = K+1, per-row depths; KV rows for
-    the whole block land at lengths..lengths+K) and every draft token
-    the model's own greedy choice agrees with is recorded too:
-    ``a`` accepted drafts emit a+1 tokens for one weight-streaming
-    pass. Token-identical to the vanilla chunk under greedy
-    (vlm/speculative.py docstring; tests/test_speculative.py).
+    the whole block land at lengths..lengths+K) and accepted draft
+    tokens are recorded too: ``a`` accepted drafts emit a+1 tokens for
+    one weight-streaming pass. Lossless in BOTH decode modes —
+    token-identical under greedy, distribution-identical under the HF
+    sampled chain incl. repetition penalty (vlm/speculative.py
+    `verify_round` docstring; tests/test_speculative.py).
 
     ``hist`` [n, H+1] carries each slot's generated tokens across
     chunks for the n-gram lookup (col H is a scatter scrap column for
@@ -156,10 +158,11 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
     H = hist.shape[1] - 1
     buf0 = jnp.full((n, cap + 1), eos, jnp.int32)  # last col = scrap
     bidx = jnp.arange(n)
+    pdim = presence.shape[1]  # scatter index == pdim drops (OOB)
 
     def body(_, st):
         (cache, tokens, pos, lengths, done, remaining, hist,
-         gen_count, buf, bufcnt) = st
+         gen_count, presence, key, buf, bufcnt) = st
         done = done | _is_stop(tokens, stops) | (remaining <= 0)
         rec = jnp.logical_not(done)
 
@@ -182,33 +185,41 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
         logits, cache = text_forward(
             params, emb.astype(dtype), pos3, tcfg, None, cache,
             lengths, kv_read_span=span)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        a = _spec.accept_greedy(draft, preds, stops)
+        key, sub = jax.random.split(key)
+        a, cand = _spec.verify_round(draft, logits, tokens, presence,
+                                     sub, scfg, stops)
         m = jnp.where(rec, jnp.minimum(a, jnp.maximum(remaining, 0)), 0)
+        if scfg.needs_presence:
+            # persist: x0 (recorded this round) + the accepted drafts;
+            # the carried token is recorded at the top of next round
+            presence = presence.at[bidx, tokens].set(True)
         for j in range(K):  # static K, tiny scatters
             w = j < m
             buf = buf.at[bidx, jnp.where(w, jnp.minimum(bufcnt + j, cap),
-                                         cap)].set(preds[:, j])
+                                         cap)].set(draft[:, j])
             hist = hist.at[bidx,
                            jnp.where(w, jnp.minimum(gen_count + j, H),
-                                     H)].set(preds[:, j])
+                                     H)].set(draft[:, j])
+            if scfg.needs_presence:
+                presence = presence.at[
+                    bidx, jnp.where(w, draft[:, j], pdim)].set(True)
         bufcnt = bufcnt + m
         gen_count = gen_count + m
         remaining = remaining - m
 
-        newtok = jnp.take_along_axis(preds, m[:, None], axis=1)[:, 0]
+        newtok = jnp.take_along_axis(cand, m[:, None], axis=1)[:, 0]
         tokens = jnp.where(rec, newtok, tokens)
         adv = jnp.where(rec, 1 + m, 0)
         pos = pos + adv
         lengths = lengths + adv
         return (cache, tokens, pos, lengths, done, remaining, hist,
-                gen_count, buf, bufcnt)
+                gen_count, presence, key, buf, bufcnt)
 
     st = (cache, tokens, pos, lengths, done, remaining, hist, gen_count,
-          buf0, jnp.zeros((n,), jnp.int32))
+          presence, key, buf0, jnp.zeros((n,), jnp.int32))
     st = jax.lax.fori_loop(0, k_rounds, body, st)
-    return st[:8] + (st[8][:, :cap],)
+    return st[:10] + (st[10][:, :cap],)
 
 
 @functools.partial(
@@ -270,51 +281,79 @@ class ContinuousBatchingEngine:
                  sampling: Optional[SamplingConfig] = None,
                  seed: int = 0,
                  refill_chunks: Tuple[int, ...] = (8, 4, 2, 1),
-                 profile: bool = False, spec_k: int = 0):
+                 profile: bool = False, spec_k: int = 0,
+                 mesh=None):
         self.gen = gen
         self.cfg = gen.cfg
         self.n_slots = n_slots
         self.sync_steps = sync_steps
+        # --- tensor parallelism ------------------------------------------
+        # ``mesh``: a jax.sharding.Mesh with a 'model' axis. The
+        # generator's weights (text + vision, fp or quantized) are
+        # sharded IN PLACE by the Megatron-style qwen_param_rules —
+        # qkv/gate/up on the output dim, o/down on the input dim, the
+        # untied lm head on the vocab dim — so every engine dispatch
+        # (vision+prefill, decode steps, spec verify) runs as one GSPMD
+        # program with XLA-inserted collectives riding ICI. Slot state
+        # and the KV cache are REPLICATED (TP shards the weights, which
+        # dominate HBM at serving batch sizes); this is the rebuild of
+        # the reference's multi-GPU ``device_map="auto"`` placement
+        # (model_v.py:55) without its per-layer host hops. Token parity
+        # with the single-device engine: tests/test_engine.py (TP=2).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from vlm_clip_tpu.parallel.sharding import (qwen_param_rules,
+                                                        shard_params)
+            gen.params = shard_params(gen.params, mesh,
+                                      rules=qwen_param_rules())
+            self._replicate = lambda t: jax.device_put(
+                t, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._replicate = lambda t: t
         # n-gram speculative decoding: verify K draft tokens per forward
-        # (vlm/speculative.py). Deterministic decoding only — greedy
-        # acceptance IS the exactness proof; sampled configs would need
-        # rejection sampling against a draft distribution that an
-        # n-gram lookup doesn't have.
+        # (vlm/speculative.py). Lossless in BOTH decode modes: greedy
+        # acceptance is token-identical; sampled configs run exact
+        # speculative sampling against the point-mass draft (accept
+        # w.p. p(draft), resample the residual on rejection) — so the
+        # checkpoint's own generation_config (sampling + repetition
+        # penalty) composes with spec_k.
         self.spec_k = int(spec_k)
-        scfg_chk = sampling or GREEDY
-        if self.spec_k and (scfg_chk.do_sample
-                            or scfg_chk.needs_presence):
-            raise ValueError(
-                "spec_k requires deterministic decoding (do_sample="
-                "False, repetition_penalty=1.0); got "
-                f"{scfg_chk}")
         # opt-in phase attribution: blocks after install/steps dispatches
         # (a device sync each — measurement only, not the serving path)
         self.profile = profile
         self.stats = {"install_s": 0.0, "steps_s": 0.0, "sync_s": 0.0,
-                      "installs": 0, "steps": 0}
+                      "installs": 0, "steps": 0,
+                      # always-on: decode rounds dispatched (spec: one
+                      # round = one K+1-token verify forward) — lets
+                      # benches derive accepted-drafts/round as
+                      # emitted_tokens / rounds - 1
+                      "rounds": 0}
         self.scfg = sampling or GREEDY
         self.refill_chunks = tuple(
             c for c in sorted(set(refill_chunks), reverse=True)
             if c <= n_slots) or (1,)
         self._stops = (self.cfg.eos_token_id,) + tuple(self.scfg.extra_eos)
 
-        # --- device state -------------------------------------------------
-        self._key = jax.random.PRNGKey(seed)
-        self.cache = init_kv_cache(self.cfg.text, n_slots, gen.max_len,
-                                   gen.dtype, gen.kv_quantized)
-        self.tokens = jnp.zeros((n_slots,), jnp.int32)
-        self.pos = jnp.zeros((n_slots,), jnp.int32)
-        self.lengths = jnp.zeros((n_slots,), jnp.int32)
-        self.done = jnp.ones((n_slots,), bool)          # all free
-        self.remaining = jnp.zeros((n_slots,), jnp.int32)
+        # --- device state (replicated over the mesh when present) ---------
+        self._key = self._replicate(jax.random.PRNGKey(seed))
+        self.cache = self._replicate(
+            init_kv_cache(self.cfg.text, n_slots, gen.max_len,
+                          gen.dtype, gen.kv_quantized))
+        self.tokens = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        self.pos = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        self.lengths = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        self.done = self._replicate(jnp.ones((n_slots,), bool))  # free
+        self.remaining = self._replicate(jnp.zeros((n_slots,), jnp.int32))
         pdim = self.cfg.text.vocab_size if self.scfg.needs_presence else 1
-        self.presence = jnp.zeros((n_slots, pdim), bool)
+        self.presence = self._replicate(jnp.zeros((n_slots, pdim), bool))
         if self.spec_k:
             # per-slot generated history for the n-gram lookup
             # (+1 scrap column for masked scatters)
-            self.hist = jnp.zeros((n_slots, gen.max_len + 1), jnp.int32)
-            self.gen_count = jnp.zeros((n_slots,), jnp.int32)
+            self.hist = self._replicate(
+                jnp.zeros((n_slots, gen.max_len + 1), jnp.int32))
+            self.gen_count = self._replicate(
+                jnp.zeros((n_slots,), jnp.int32))
 
         # --- host state ----------------------------------------------------
         self._queue: "collections.deque[_Pending]" = collections.deque()
@@ -413,8 +452,9 @@ class ContinuousBatchingEngine:
                         if head.pad_text_to else (ids, np.asarray(pos)))
         T_p = len(ids_p)
         c = len(group)
-        sub_cache = init_kv_cache(cfg.text, c, gen.max_len, gen.dtype,
-                                  gen.kv_quantized)
+        sub_cache = self._replicate(
+            init_kv_cache(cfg.text, c, gen.max_len, gen.dtype,
+                          gen.kv_quantized))
         pos3 = np.broadcast_to(pos_p[:, None, :], (3, c, T_p))
         logits0, sub_cache = gen._embed_prefill(
             gen.params, jnp.asarray(patches), jnp.asarray(v0.rot_pos_emb),
@@ -463,15 +503,19 @@ class ContinuousBatchingEngine:
     def _chunk(self):
         """One decode chunk + harvest (the single host sync)."""
         t0 = time.perf_counter() if self.profile else 0.0
+        self.stats["rounds"] += self.sync_steps
         if self.spec_k:
             (self.cache, self.tokens, self.pos, self.lengths, self.done,
-             self.remaining, self.hist, self.gen_count, buf) = \
+             self.remaining, self.hist, self.gen_count, self.presence,
+             self._key, buf) = \
                 _engine_spec_steps(
                     self.gen.params["text"], self.cache, self.tokens,
                     self.pos, self.lengths, self.done, self.remaining,
-                    self.hist, self.gen_count, k_rounds=self.sync_steps,
+                    self.hist, self.gen_count, self.presence, self._key,
+                    k_rounds=self.sync_steps,
                     spec_k=self.spec_k, span=self._kv_span(),
-                    tcfg=self.cfg.text, stops=self._stops,
+                    scfg=self.scfg, tcfg=self.cfg.text,
+                    stops=self._stops,
                     eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
         else:
             (self.cache, self.tokens, self.pos, self.lengths, self.done,
