@@ -272,3 +272,43 @@ def test_lm_head_tp_rules():
     assert specs["text"]["lm_head"].qweight == P(None, "model")
     assert specs["text"]["lm_head"].scale == P("model")
     assert specs["text"]["embed_tokens"] == P()
+
+
+def test_engine_pipelined_matches_unpipelined(fixture):
+    """Pipelined dispatch (chunk N dispatched before chunk N-1's
+    harvest) must not change any request's tokens — only scheduling.
+    Covers refill-during-flight (5 requests through 2 slots) and the
+    tail drain."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 5, seed=41)
+    budgets = [4, 7, 5, 6, 3]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+
+    outs = {}
+    for pipe in (False, True):
+        eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=3,
+                                       refill_chunks=(2, 1),
+                                       pipeline=pipe)
+        rids = [eng.submit(ids, v, max_new_tokens=m)
+                for v, m in zip(visions, budgets)]
+        got = eng.flush()
+        assert sorted(got) == sorted(rids)
+        outs[pipe] = [got[r] for r in rids]
+    assert outs[True] == outs[False]
+
+
+def test_engine_pipelined_speculative(fixture):
+    """Pipelined dispatch composes with spec_k (greedy): tokens equal
+    the one-shot generate output."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 3, seed=2)
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    want = [gen.generate_from_ids(ids, v, max_new_tokens=6)
+            for v in visions]
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   spec_k=3, refill_chunks=(2, 1),
+                                   pipeline=True)
+    rids = [eng.submit(ids, v, max_new_tokens=6) for v in visions]
+    got = eng.flush()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w

@@ -826,3 +826,20 @@ def test_generate_int8_kv_cache(converted):
     scale = float(np.std(np.asarray(logits_fp)))
     dev = float(np.max(np.abs(np.asarray(logits_q - logits_fp))))
     assert dev < 0.1 * scale, (dev, scale)
+
+
+def test_7b_72b_presets_invariants():
+    """The 7B/72B serving presets must satisfy the model invariants the
+    forward relies on: mrope sections sum to head_dim/2, GQA divides,
+    and the TP rules' sharded dims divide cleanly at model in {2, 4}."""
+    from vlm_clip_tpu.vlm.qwen_model import (qwen25vl_3b, qwen25vl_7b,
+                                             qwen25vl_72b)
+
+    for cfg in (qwen25vl_3b(), qwen25vl_7b(), qwen25vl_72b()):
+        t = cfg.text
+        assert sum(t.mrope_section) == t.head_dim // 2
+        assert t.num_heads % t.num_kv_heads == 0
+        for m in (2, 4):
+            assert (t.num_heads * t.head_dim) % m == 0   # q out dim
+            assert t.intermediate_size % m == 0          # gate/up out
+        assert cfg.vision.out_hidden_size == t.hidden_size

@@ -43,6 +43,10 @@ def main(argv=None):
                    help="per-phase engine attribution (install/steps/"
                         "sync; adds a device sync per phase)")
     p.add_argument("--refill-chunks", default="32,8,1")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable pipelined chunk dispatch (chunk N "
+                        "dispatched before chunk N-1's harvest) for "
+                        "the A/B against the synchronous round-3 loop")
     p.add_argument("--spec-k", type=int, default=0,
                    help="n-gram speculative decoding: verify K drafts "
                         "per forward (greedy-exact; random synth "
@@ -102,7 +106,7 @@ def main(argv=None):
         eng = ContinuousBatchingEngine(
             gen, n_slots=args.slots, sync_steps=args.sync_steps,
             refill_chunks=chunks, profile=args.profile,
-            spec_k=args.spec_k)
+            spec_k=args.spec_k, pipeline=not args.no_pipeline)
         t_start = time.perf_counter()
         for v, m in zip(vins, budgets):
             eng.submit(ids, v, max_new_tokens=m)

@@ -73,8 +73,10 @@ def _is_stop(tokens, stops):
 @functools.partial(
     jax.jit, static_argnames=("k_steps", "scfg", "span", "tcfg", "stops",
                               "eos", "dtype"),
-    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                     "remaining", "presence"))
+    # donate only the big buffers: the [n] state vectors are harvest
+    # outputs under pipelined dispatch (fetched one chunk late, AFTER
+    # they have been fed to the next chunk) so they must survive reuse
+    donate_argnames=("cache", "presence"))
 def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
                   presence, key, *, k_steps, scfg, span, tcfg, stops,
                   eos, dtype):
@@ -129,8 +131,7 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
 @functools.partial(
     jax.jit, static_argnames=("k_rounds", "spec_k", "span", "scfg",
                               "tcfg", "stops", "eos", "dtype"),
-    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                     "remaining", "hist", "gen_count", "presence"))
+    donate_argnames=("cache", "hist", "presence"))
 def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
                        remaining, hist, gen_count, presence, key, *,
                        k_rounds, spec_k, span, scfg, tcfg, stops, eos,
@@ -224,8 +225,7 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
 
 @functools.partial(
     jax.jit, static_argnames=("scfg",),
-    donate_argnames=("cache", "tokens", "pos", "lengths", "done",
-                     "remaining", "presence"))
+    donate_argnames=("cache", "presence"))
 def _engine_place(cache, sub_cache, logits0, slots, tokens, pos, lengths,
                   done, remaining, presence, prows, pos0, len0, rem0,
                   key, scfg):
@@ -282,7 +282,7 @@ class ContinuousBatchingEngine:
                  seed: int = 0,
                  refill_chunks: Tuple[int, ...] = (8, 4, 2, 1),
                  profile: bool = False, spec_k: int = 0,
-                 mesh=None):
+                 mesh=None, pipeline: bool = True):
         self.gen = gen
         self.cfg = gen.cfg
         self.n_slots = n_slots
@@ -322,6 +322,17 @@ class ContinuousBatchingEngine:
         # opt-in phase attribution: blocks after install/steps dispatches
         # (a device sync each — measurement only, not the serving path)
         self.profile = profile
+        # pipelined dispatch (default): chunk N is dispatched BEFORE
+        # chunk N-1's results are fetched, so the host sync (5-6 tunnel
+        # RTTs, the measured engine-vs-static gap on uniform loads,
+        # BENCH.md r3/r4) overlaps chunk N's device execution. Costs:
+        # refills land one chunk later (a finished slot decodes garbage
+        # for ≤ one extra chunk) and harvest state lags one chunk.
+        # Token streams are UNCHANGED per request (scheduling only) —
+        # tests pin pipelined == unpipelined output. Off under profile
+        # (phase attribution needs synchronous chunks).
+        self.pipeline = bool(pipeline) and not profile
+        self._pend: Optional[dict] = None
         self.stats = {"install_s": 0.0, "steps_s": 0.0, "sync_s": 0.0,
                       "installs": 0, "steps": 0,
                       # always-on: decode rounds dispatched (spec: one
@@ -388,13 +399,27 @@ class ContinuousBatchingEngine:
             r is not None for r in self._slot_req)
 
     def poll(self) -> Dict[int, List[int]]:
-        """One scheduling round: refill free slots, run one decode
-        chunk, harvest. Returns requests finished this round."""
-        self._refill()
-        if all(r is None for r in self._slot_req):
+        """One scheduling round; returns requests finished this round.
+
+        Unpipelined: refill free slots, run one decode chunk, harvest.
+        Pipelined (default): dispatch this chunk first (from the state
+        the previous poll left), THEN harvest the previous chunk — its
+        fetch overlaps this chunk's device execution — then refill.
+        """
+        if not self.pipeline:
+            self._refill()
+            if all(r is None for r in self._slot_req):
+                out, self._finished = self._finished, {}
+                return out
+            self._dispatch()
+            self._harvest()
             out, self._finished = self._finished, {}
             return out
-        self._chunk()
+        if any(r is not None for r in self._slot_req):
+            self._dispatch()
+        if self._pend is not None:
+            self._harvest()
+        self._refill()
         out, self._finished = self._finished, {}
         return out
 
@@ -482,7 +507,9 @@ class ContinuousBatchingEngine:
             self.hist = self.hist.at[sl].set(0)
             self.gen_count = self.gen_count.at[sl].set(0)
         if self.profile:
-            jax.block_until_ready(self.tokens)
+            # block_until_ready is a no-op through the axon tunnel; a
+            # value fetch really syncs
+            np.asarray(self.tokens)
             self.stats["install_s"] += time.perf_counter() - t0
             self.stats["installs"] += len(group)
         for p, s in zip(group, slots):
@@ -492,16 +519,21 @@ class ContinuousBatchingEngine:
 
     def _kv_span(self) -> int:
         """KV read bucket for the next chunk: max active depth plus the
-        chunk's growth, rounded up to 128 (one cached steps-compile per
-        bucket, <= max_len/128 total)."""
+        in-flight growth, rounded up to 128 (one cached steps-compile
+        per bucket, <= max_len/128 total). Under pipelined dispatch the
+        host depths lag one chunk, so the margin covers TWO chunks."""
         deepest = max((int(self._lengths_host[s])
                        for s, r in enumerate(self._slot_req)
                        if r is not None), default=0)
-        need = deepest + self.sync_steps * (1 + self.spec_k)
+        chunks_in_flight = 2 if (self.pipeline and
+                                 self._pend is not None) else 1
+        need = deepest + chunks_in_flight * self.sync_steps \
+            * (1 + self.spec_k)
         return min(self.gen.max_len, -(-need // 128) * 128)
 
-    def _chunk(self):
-        """One decode chunk + harvest (the single host sync)."""
+    def _dispatch(self):
+        """Dispatch one decode chunk (async) and snapshot the handles +
+        slot assignment for its later harvest."""
         t0 = time.perf_counter() if self.profile else 0.0
         self.stats["rounds"] += self.sync_steps
         if self.spec_k:
@@ -529,22 +561,41 @@ class ContinuousBatchingEngine:
                     eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
 
         if self.profile:
-            jax.block_until_ready(buf)
+            np.asarray(buf)  # value fetch = real sync (axon tunnel)
             self.stats["steps_s"] += time.perf_counter() - t0
             self.stats["steps"] += self.sync_steps
-            t0 = time.perf_counter()
-        buf_h = np.asarray(buf)
-        lengths_h = np.asarray(self.lengths)
-        done_h = np.asarray(self.done)
-        remaining_h = np.asarray(self.remaining)
-        tokens_h = np.asarray(self.tokens)
+        # snapshot: the chunk's output handles + the slot assignment and
+        # host depths AS OF DISPATCH. Slots refilled after this dispatch
+        # must not be attributed this chunk's rows (their rows hold the
+        # PREVIOUS request's frozen state) — the harvest checks the
+        # snapshot rid is still current.
+        self._pend = {
+            "buf": buf, "lengths": self.lengths, "done": self.done,
+            "remaining": self.remaining, "tokens": self.tokens,
+            "slot_req": list(self._slot_req),
+        }
+
+    def _harvest(self):
+        """Fetch the pending chunk's results and record/finish rows.
+        The ONE host sync; under pipelined dispatch it overlaps the
+        next chunk's device execution."""
+        pend, self._pend = self._pend, None
+        t0 = time.perf_counter() if self.profile else 0.0
+        buf_h = np.asarray(pend["buf"])
+        lengths_h = np.asarray(pend["lengths"])
+        done_h = np.asarray(pend["done"])
+        remaining_h = np.asarray(pend["remaining"])
+        tokens_h = np.asarray(pend["tokens"])
         stop_h = np.isin(tokens_h, np.asarray(self._stops))
 
         if self.profile:
             self.stats["sync_s"] += time.perf_counter() - t0
-        for s, rid in enumerate(self._slot_req):
-            if rid is None:
-                continue
+        for s, rid in enumerate(pend["slot_req"]):
+            if rid is None or self._slot_req[s] != rid:
+                continue  # freed/refilled since dispatch
+            # _lengths_host tracks the depth through the last HARVESTED
+            # chunk for this slot, so the delta is exactly this chunk's
+            # emissions — buf rows are chunk-local from col 0
             rec = int(lengths_h[s] - self._lengths_host[s])
             self._lengths_host[s] = lengths_h[s]
             if rec:

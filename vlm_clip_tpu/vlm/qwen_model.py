@@ -93,6 +93,33 @@ def qwen25vl_3b() -> QwenVLConfig:
     return QwenVLConfig()
 
 
+def qwen25vl_7b() -> QwenVLConfig:
+    """Qwen2.5-VL-7B-Instruct dims (HF config). Serving HBM at int8:
+    ~8.3 GB text weights + ~0.7 GB vision -> fits ONE 16 GB v5e chip
+    with ~5 GB for KV (64 slots x 2k ctx int8 = 2.1 GB); TP=2 halves
+    the weight stream for latency. See BENCH.md round 4 (large-model
+    serving arithmetic)."""
+    return QwenVLConfig(
+        text=QwenTextConfig(
+            hidden_size=3584, intermediate_size=18944, num_layers=28,
+            num_heads=28, num_kv_heads=4, head_dim=128,
+            tie_word_embeddings=False),
+        vision=QwenVisionConfig(out_hidden_size=3584))
+
+
+def qwen25vl_72b() -> QwenVLConfig:
+    """Qwen2.5-VL-72B-Instruct dims (HF config). Serving HBM at int8:
+    ~72 GB text weights -> needs >= TP=8 v5e chips (9+ GB/chip) or
+    int4 (~36 GB, TP=4); the engine's mesh= TP and the PP generator
+    both apply. See BENCH.md round 4."""
+    return QwenVLConfig(
+        text=QwenTextConfig(
+            hidden_size=8192, intermediate_size=29568, num_layers=80,
+            num_heads=64, num_kv_heads=8, head_dim=128,
+            tie_word_embeddings=False),
+        vision=QwenVisionConfig(out_hidden_size=8192))
+
+
 # ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
