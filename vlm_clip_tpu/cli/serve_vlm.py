@@ -330,7 +330,10 @@ def main(argv=None) -> None:
                               make_vlm_handler(worker, prep_fn, tokenizer,
                                                args.max_new, mode))
     print(f"serving VLM generation on :{args.port} — mode: {mode}, "
-          f"{args.slots} slots, kv{args.kv_bits}", flush=True)
+          f"{args.slots} slots, kv{args.kv_bits}"
+          + (f", tp={args.tp}" if args.tp > 1 else "")
+          + (f", spec_k={args.spec_k}" if args.spec_k else ""),
+          flush=True)
     srv.serve_forever()
 
 
