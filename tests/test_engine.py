@@ -312,3 +312,44 @@ def test_engine_pipelined_speculative(fixture):
     got = eng.flush()
     for rid, w in zip(rids, want):
         assert got[rid] == w
+
+def test_engine_adaptive_chunks_match_fixed(fixture):
+    """Adaptive chunk lengths (remaining-budget-driven, dynamic trip
+    count) must not change any request's tokens — only scheduling —
+    while dispatching fewer chunks (= host syncs) than the fixed
+    sync_steps loop on a staggered-budget load."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 5, seed=17)
+    budgets = [4, 12, 5, 9, 3]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+
+    outs, chunks = {}, {}
+    for adaptive in (False, True):
+        eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                       refill_chunks=(2, 1),
+                                       adaptive=adaptive, chunk_max=16)
+        rids = [eng.submit(ids, v, max_new_tokens=m)
+                for v, m in zip(visions, budgets)]
+        got = eng.flush()
+        assert sorted(got) == sorted(rids)
+        outs[adaptive] = [got[r] for r in rids]
+        chunks[adaptive] = eng.stats["chunks"]
+    assert outs[True] == outs[False]
+    assert chunks[True] < chunks[False], chunks
+
+
+def test_engine_adaptive_speculative(fixture):
+    """Adaptive chunking composes with spec_k (greedy): tokens equal
+    the one-shot generate output across refills."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 3, seed=31)
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    want = [gen.generate_from_ids(ids, v, max_new_tokens=7)
+            for v in visions]
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   spec_k=2, refill_chunks=(2, 1),
+                                   adaptive=True, chunk_max=8)
+    rids = [eng.submit(ids, v, max_new_tokens=7) for v in visions]
+    got = eng.flush()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w

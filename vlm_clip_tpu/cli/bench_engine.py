@@ -43,6 +43,12 @@ def main(argv=None):
                    help="per-phase engine attribution (install/steps/"
                         "sync; adds a device sync per phase)")
     p.add_argument("--refill-chunks", default="32,8,1")
+    p.add_argument("--no-adaptive", action="store_true",
+                   help="fixed sync-steps chunks (disable the "
+                        "remaining-budget-driven adaptive chunk length)")
+    p.add_argument("--chunk-max", type=int, default=None,
+                   help="adaptive chunk-length cap (default "
+                        "8*sync-steps)")
     p.add_argument("--no-pipeline", action="store_true",
                    help="disable pipelined chunk dispatch (chunk N "
                         "dispatched before chunk N-1's harvest) for "
@@ -106,7 +112,8 @@ def main(argv=None):
         eng = ContinuousBatchingEngine(
             gen, n_slots=args.slots, sync_steps=args.sync_steps,
             refill_chunks=chunks, profile=args.profile,
-            spec_k=args.spec_k, pipeline=not args.no_pipeline)
+            spec_k=args.spec_k, pipeline=not args.no_pipeline,
+            adaptive=not args.no_adaptive, chunk_max=args.chunk_max)
         t_start = time.perf_counter()
         for v, m in zip(vins, budgets):
             eng.submit(ids, v, max_new_tokens=m)

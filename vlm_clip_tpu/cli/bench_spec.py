@@ -244,10 +244,15 @@ def main(argv=None):
         toks = sum(len(v) for v in out.values())
         rounds = eng2.stats["rounds"]
         ms_round = eng2.stats["steps_s"] / rounds * 1e3
+        # per-slot-round emission rate: vanilla emits <= 1 (slot
+        # utilization); spec emits 1 + accepted drafts
+        rate = toks / (rounds * slots)
+        note = (f"measured accepted/round = {rate - 1:+.2f} "
+                f"(synth weights)" if spec_k
+                else f"slot utilization {rate:.2f}")
         print(f"  slots={slots} spec_k={spec_k}: {ms_round:.2f} ms/round "
               f"(decode only), {toks} tokens in {dt:.1f}s end-to-end, "
-              f"measured accepted/round = {toks / rounds - 1:+.2f} "
-              f"(synth weights)", flush=True)
+              + note, flush=True)
         return ms_round
 
     print("engine round costs (3B 8h4, budget "

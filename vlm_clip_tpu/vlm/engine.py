@@ -8,9 +8,11 @@ fixed pool of ``n_slots`` decode rows live on device (fixed shapes —
 XLA compiles exactly one step function) and treats each row as an
 independent slot, vLLM-style:
 
-- every ``sync_steps`` decode steps the host syncs ONCE (a [n, k] token
-  block plus four [n] state vectors — one tunnel RTT per chunk, not per
-  token, extending the round-2 while_loop design to heterogeneous rows);
+- the host syncs ONCE per decode chunk (a [n, k] token block plus four
+  [n] state vectors — one tunnel RTT per chunk, not per token, extending
+  the round-2 while_loop design to heterogeneous rows); the chunk length
+  is adaptive by default: a traced trip count picked per dispatch from
+  the slots' known remaining budgets (see the class docstring);
 - rows that hit EOS / their token budget are harvested and their slots
   immediately re-prefilled from the request queue (grouped into
   ``refill_chunks``-sized sub-batches that share one vision+prefill
@@ -78,10 +80,17 @@ def _is_stop(tokens, stops):
     # they have been fed to the next chunk) so they must survive reuse
     donate_argnames=("cache", "presence"))
 def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
-                  presence, key, *, k_steps, scfg, span, tcfg, stops,
-                  eos, dtype):
-    """k fixed decode steps over every slot; done/free rows compute
-    garbage (discarded) — the price of one static shape.
+                  presence, key, k_dyn, *, k_steps, scfg, span, tcfg,
+                  stops, eos, dtype):
+    """Up to ``k_steps`` decode steps over every slot; done/free rows
+    compute garbage (discarded) — the price of one static shape.
+
+    ``k_steps`` (static) is only the token-buffer CAP; the actual trip
+    count is ``k_dyn`` (a traced int32 in a While) — so the adaptive
+    scheduler varies the chunk length per dispatch with ONE compiled
+    program per KV-span bucket, not one per length. The While also
+    exits as soon as EVERY slot is done (EOS/budget/free) — a chunk
+    that overshoots its last live slot costs nothing on device.
 
     Per-step contract mirrors the single-batch decode loop (qwen.py
     decode_loop): the current token is recorded first (eos/budget
@@ -124,7 +133,16 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
 
     st = (cache, tokens, pos, lengths, done, remaining, presence,
           key, buf0)
-    st = jax.lax.fori_loop(0, k_steps, body, st)
+
+    # While with a traced bound + all-done early exit (st[4] is done;
+    # it lags the last emitted token by one step, so at most one
+    # garbage iteration runs per chunk after the last slot finishes)
+    def _cond(c):
+        return (c[0] < k_dyn) & jnp.logical_not(jnp.all(c[1][4]))
+
+    _, st = jax.lax.while_loop(
+        _cond, lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), st))
     return st
 
 
@@ -133,10 +151,11 @@ def _engine_steps(params, cache, tokens, pos, lengths, done, remaining,
                               "tcfg", "stops", "eos", "dtype"),
     donate_argnames=("cache", "hist", "presence"))
 def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
-                       remaining, hist, gen_count, presence, key, *,
-                       k_rounds, spec_k, span, scfg, tcfg, stops, eos,
-                       dtype):
-    """k_rounds speculative verify rounds over every slot.
+                       remaining, hist, gen_count, presence, key,
+                       k_dyn, *, k_rounds, spec_k, span, scfg, tcfg,
+                       stops, eos, dtype):
+    """Up to ``k_rounds`` speculative verify rounds over every slot;
+    the actual trip count is the traced ``k_dyn`` (see _engine_steps).
 
     Each round mirrors one vanilla step — record the carried token,
     forward, carry the sample — except the forward consumes
@@ -219,7 +238,13 @@ def _engine_spec_steps(params, cache, tokens, pos, lengths, done,
 
     st = (cache, tokens, pos, lengths, done, remaining, hist, gen_count,
           presence, key, buf0, jnp.zeros((n,), jnp.int32))
-    st = jax.lax.fori_loop(0, k_rounds, body, st)
+
+    def _cond(c):
+        return (c[0] < k_dyn) & jnp.logical_not(jnp.all(c[1][4]))
+
+    _, st = jax.lax.while_loop(
+        _cond, lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), st))
     return st[:10] + (st[10][:, :cap],)
 
 
@@ -272,9 +297,21 @@ class ContinuousBatchingEngine:
     """Slot-based continuous batching over a ``QwenVLGenerator``.
 
     ``n_slots``: decode rows resident on device (one KV cache of
-    [L, n_slots, max_len, kv, d]). ``sync_steps``: decode steps per
-    host sync. ``refill_chunks``: descending prefill group sizes; each
-    size is one (cached) compile of the vision+prefill dispatch.
+    [L, n_slots, max_len, kv, d]). ``sync_steps``: MINIMUM decode steps
+    per host sync (the fixed chunk length when ``adaptive=False``).
+    ``refill_chunks``: descending prefill group sizes; each size is one
+    (cached) compile of the vision+prefill dispatch.
+
+    Adaptive chunking (default): the host knows every slot's remaining
+    token budget exactly (install sets it, every harvest refreshes it),
+    so each dispatch picks its own chunk length — sync when the
+    EARLIEST-finishing slot can free (min remaining, so a waiting queue
+    refills promptly with zero budget-driven garbage decode), or when
+    nothing is queued, the LATEST (max remaining — syncs exist only to
+    harvest). Clamped to [sync_steps, chunk_max]. The trip count is a
+    traced operand of the step jits, so every length shares one
+    compiled program per KV-span bucket; token streams are unchanged
+    (chunk boundaries don't enter the math — parity-tested).
     """
 
     def __init__(self, gen, n_slots: int = 32, sync_steps: int = 16,
@@ -282,11 +319,19 @@ class ContinuousBatchingEngine:
                  seed: int = 0,
                  refill_chunks: Tuple[int, ...] = (8, 4, 2, 1),
                  profile: bool = False, spec_k: int = 0,
-                 mesh=None, pipeline: bool = True):
+                 mesh=None, pipeline: bool = True,
+                 adaptive: bool = True,
+                 chunk_max: Optional[int] = None):
         self.gen = gen
         self.cfg = gen.cfg
         self.n_slots = n_slots
         self.sync_steps = sync_steps
+        self.adaptive = bool(adaptive)
+        self.chunk_max = max(int(chunk_max) if chunk_max
+                             else 8 * sync_steps, sync_steps)
+        # static token-buffer cap of the step jits (the traced trip
+        # count k_dyn varies per dispatch underneath it)
+        self._cap = self.chunk_max if self.adaptive else sync_steps
         # --- tensor parallelism ------------------------------------------
         # ``mesh``: a jax.sharding.Mesh with a 'model' axis. The
         # generator's weights (text + vision, fp or quantized) are
@@ -338,8 +383,9 @@ class ContinuousBatchingEngine:
                       # always-on: decode rounds dispatched (spec: one
                       # round = one K+1-token verify forward) — lets
                       # benches derive accepted-drafts/round as
-                      # emitted_tokens / rounds - 1
-                      "rounds": 0}
+                      # emitted_tokens / rounds - 1 — and chunks
+                      # dispatched (each chunk costs one host sync)
+                      "rounds": 0, "chunks": 0}
         self.scfg = sampling or GREEDY
         self.refill_chunks = tuple(
             c for c in sorted(set(refill_chunks), reverse=True)
@@ -371,6 +417,9 @@ class ContinuousBatchingEngine:
         self._slot_req: List[Optional[int]] = [None] * n_slots
         self._slot_toks: List[List[int]] = [[] for _ in range(n_slots)]
         self._lengths_host = np.zeros((n_slots,), np.int64)
+        # host mirror of each slot's remaining budget (exact through
+        # the last harvest) — drives the adaptive chunk-length policy
+        self._remaining_host = np.zeros((n_slots,), np.int64)
         self._next_id = 0
         self._finished: Dict[int, List[int]] = {}
 
@@ -516,26 +565,42 @@ class ContinuousBatchingEngine:
             self._slot_req[s] = p.req_id
             self._slot_toks[s] = []
             self._lengths_host[s] = T
+            self._remaining_host[s] = p.max_new
 
-    def _kv_span(self) -> int:
+    def _kv_span(self, k_next: int) -> int:
         """KV read bucket for the next chunk: max active depth plus the
-        in-flight growth, rounded up to 128 (one cached steps-compile
-        per bucket, <= max_len/128 total). Under pipelined dispatch the
-        host depths lag one chunk, so the margin covers TWO chunks."""
+        in-flight + next-chunk growth, rounded up to 128 (one cached
+        steps-compile per bucket, <= max_len/128 total). Under pipelined
+        dispatch the host depths lag the in-flight chunk, so its length
+        is part of the margin."""
         deepest = max((int(self._lengths_host[s])
                        for s, r in enumerate(self._slot_req)
                        if r is not None), default=0)
-        chunks_in_flight = 2 if (self.pipeline and
-                                 self._pend is not None) else 1
-        need = deepest + chunks_in_flight * self.sync_steps \
-            * (1 + self.spec_k)
+        inflight = self._pend["k"] if self._pend is not None else 0
+        need = deepest + (inflight + k_next) * (1 + self.spec_k)
         return min(self.gen.max_len, -(-need // 128) * 128)
+
+    def _next_chunk(self) -> int:
+        """Chunk length for the next dispatch (see class docstring).
+        Remaining budgets are exact through the last harvest; the
+        in-flight chunk (pipelined dispatch) is subtracted since those
+        steps are already committed."""
+        if not self.adaptive:
+            return self.sync_steps
+        inflight = self._pend["k"] if self._pend is not None else 0
+        rem = [int(self._remaining_host[s]) - inflight
+               for s, r in enumerate(self._slot_req) if r is not None]
+        tgt = (min(rem) if self._queue else max(rem)) if rem else 0
+        return max(self.sync_steps, min(self.chunk_max, tgt))
 
     def _dispatch(self):
         """Dispatch one decode chunk (async) and snapshot the handles +
         slot assignment for its later harvest."""
         t0 = time.perf_counter() if self.profile else 0.0
-        self.stats["rounds"] += self.sync_steps
+        k = self._next_chunk()
+        span = self._kv_span(k)
+        self.stats["rounds"] += k
+        self.stats["chunks"] += 1
         if self.spec_k:
             (self.cache, self.tokens, self.pos, self.lengths, self.done,
              self.remaining, self.hist, self.gen_count, self.presence,
@@ -544,8 +609,8 @@ class ContinuousBatchingEngine:
                     self.gen.params["text"], self.cache, self.tokens,
                     self.pos, self.lengths, self.done, self.remaining,
                     self.hist, self.gen_count, self.presence, self._key,
-                    k_rounds=self.sync_steps,
-                    spec_k=self.spec_k, span=self._kv_span(),
+                    k, k_rounds=self._cap,
+                    spec_k=self.spec_k, span=span,
                     scfg=self.scfg, tcfg=self.cfg.text,
                     stops=self._stops,
                     eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
@@ -555,15 +620,15 @@ class ContinuousBatchingEngine:
                 _engine_steps(
                     self.gen.params["text"], self.cache, self.tokens,
                     self.pos, self.lengths, self.done, self.remaining,
-                    self.presence, self._key, k_steps=self.sync_steps,
-                    scfg=self.scfg, span=self._kv_span(),
+                    self.presence, self._key, k, k_steps=self._cap,
+                    scfg=self.scfg, span=span,
                     tcfg=self.cfg.text, stops=self._stops,
                     eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
 
         if self.profile:
             np.asarray(buf)  # value fetch = real sync (axon tunnel)
             self.stats["steps_s"] += time.perf_counter() - t0
-            self.stats["steps"] += self.sync_steps
+            self.stats["steps"] += k
         # snapshot: the chunk's output handles + the slot assignment and
         # host depths AS OF DISPATCH. Slots refilled after this dispatch
         # must not be attributed this chunk's rows (their rows hold the
@@ -572,7 +637,7 @@ class ContinuousBatchingEngine:
         self._pend = {
             "buf": buf, "lengths": self.lengths, "done": self.done,
             "remaining": self.remaining, "tokens": self.tokens,
-            "slot_req": list(self._slot_req),
+            "slot_req": list(self._slot_req), "k": k,
         }
 
     def _harvest(self):
@@ -598,6 +663,7 @@ class ContinuousBatchingEngine:
             # emissions — buf rows are chunk-local from col 0
             rec = int(lengths_h[s] - self._lengths_host[s])
             self._lengths_host[s] = lengths_h[s]
+            self._remaining_host[s] = remaining_h[s]
             if rec:
                 self._slot_toks[s].extend(buf_h[s, :rec].tolist())
             if done_h[s] or stop_h[s] or remaining_h[s] <= 0:
