@@ -254,6 +254,100 @@ def test_engine_tp2_speculative_sampled(fixture):
         assert all(0 <= t < VOCAB for t in got[rid])
 
 
+def _dp_mesh(data, model=1):
+    import jax
+
+    from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
+    return create_mesh(MeshConfig(data=data, model=model),
+                       jax.devices()[:data * model])
+
+
+def test_engine_dp2_matches_single_device(fixture):
+    """Engine on a data=2 mesh: the SLOT axis of every state array and
+    the KV cache shards over 'data' (per-chip KV = n_slots/D slots —
+    the 72B-serving lever from BENCH.md's arithmetic), and tokens stay
+    identical to the unsharded engine across slot reuse and staggered
+    budgets. Decode is per-slot, so the data axis carries zero
+    collectives; only install's replicated-group scatter crosses it."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 5, seed=33)
+    budgets = [5, 3, 6, 4, 2]
+
+    gen_ref = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    ref_eng = ContinuousBatchingEngine(gen_ref, n_slots=2, sync_steps=3,
+                                       refill_chunks=(2, 1))
+    ref_ids = [ref_eng.submit(ids, v, max_new_tokens=m)
+               for v, m in zip(visions, budgets)]
+    want = ref_eng.flush()
+
+    gen_dp = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen_dp, n_slots=2, sync_steps=3,
+                                   refill_chunks=(2, 1),
+                                   mesh=_dp_mesh(2))
+    from vlm_clip_tpu.parallel.mesh import DATA_AXIS
+    assert DATA_AXIS in eng.cache.k.sharding.spec  # slots really shard
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    got = eng.flush()
+    for rid, wid in zip(rids, ref_ids):
+        assert got[rid] == want[wid], (got[rid], want[wid])
+
+
+def test_engine_dp2_tp2_matches_single_device(fixture):
+    """DP×TP composition on a 2×2 mesh: weights shard over 'model'
+    (Megatron rules), slots shard over 'data' — one GSPMD program per
+    dispatch with TP psums local to each data replica. Token parity vs
+    the single-device engine, 6 requests through 4 slots."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 6, seed=34)
+    budgets = [5, 3, 6, 4, 2, 5]
+
+    gen_ref = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    ref_eng = ContinuousBatchingEngine(gen_ref, n_slots=4, sync_steps=3,
+                                       refill_chunks=(4, 2, 1))
+    ref_ids = [ref_eng.submit(ids, v, max_new_tokens=m)
+               for v, m in zip(visions, budgets)]
+    want = ref_eng.flush()
+
+    gen_dp = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen_dp, n_slots=4, sync_steps=3,
+                                   refill_chunks=(4, 2, 1),
+                                   mesh=_dp_mesh(2, 2))
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    got = eng.flush()
+    for rid, wid in zip(rids, ref_ids):
+        assert got[rid] == want[wid], (got[rid], want[wid])
+
+
+def test_engine_dp_rejects_indivisible_slots(fixture):
+    """n_slots must divide the data axis (each replica owns an equal
+    slot shard)."""
+    cfg, params = fixture
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="data axis"):
+        ContinuousBatchingEngine(gen, n_slots=3, mesh=_dp_mesh(2))
+
+
+def test_engine_dp2_speculative_sampled(fixture):
+    """spec_k + sampled config + slot-sharded state compose: hist /
+    gen_count / presence shard over 'data' alongside the KV cache."""
+    cfg, params = fixture
+    scfg = SamplingConfig(do_sample=True, temperature=1.1, top_k=8,
+                          top_p=0.95, repetition_penalty=1.05)
+    ids, visions = _requests(cfg, 2, seed=13)
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   sampling=scfg, spec_k=2,
+                                   refill_chunks=(2, 1),
+                                   mesh=_dp_mesh(2))
+    rids = [eng.submit(ids, v, max_new_tokens=6) for v in visions]
+    got = eng.flush()
+    for rid in rids:
+        assert 0 < len(got[rid]) <= 6
+        assert all(0 <= t < VOCAB for t in got[rid])
+
+
 def test_lm_head_tp_rules():
     """The untied lm head must shard on the vocab dim (fp and
     quantized), the tied embedding stays replicated."""

@@ -177,7 +177,8 @@ def build_engine(weights: Optional[str], allow_synth: bool,
                  quant_bits="8h4", kv_bits: int = 16, max_len: int = 768,
                  slots: int = 32, sync_steps: int = 16,
                  resolution: int = 448, sampling=None,
-                 refill_chunks=(8, 1), spec_k: int = 0, tp: int = 1):
+                 refill_chunks=(8, 1), spec_k: int = 0, tp: int = 1,
+                 dp: int = 1):
     """Returns (engine, prep_fn, tokenizer, mode).
 
     Real weights: the QwenVLContextExtractor loading contract
@@ -252,17 +253,18 @@ def build_engine(weights: Optional[str], allow_synth: bool,
     gen = QwenVLGenerator(params, cfg, max_len=max_len, kv_bits=kv_bits)
     gen.u8_patches = True
     mesh = None
-    if tp > 1:
+    if tp > 1 or dp > 1:
         import jax
 
         from vlm_clip_tpu.parallel.mesh import MeshConfig, create_mesh
         devs = jax.devices()
-        if len(devs) < tp:
+        need = tp * dp
+        if len(devs) < need:
             raise SystemExit(
-                f"--tp {tp} needs {tp} devices, found {len(devs)} "
-                f"({devs}); for a virtual mesh set XLA_FLAGS="
-                f"--xla_force_host_platform_device_count={tp}")
-        mesh = create_mesh(MeshConfig(data=1, model=tp), devs[:tp])
+                f"--tp {tp} --dp {dp} needs {need} devices, found "
+                f"{len(devs)} ({devs}); for a virtual mesh set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={need}")
+        mesh = create_mesh(MeshConfig(data=dp, model=tp), devs[:need])
     engine = ContinuousBatchingEngine(gen, n_slots=slots,
                                       sync_steps=sync_steps,
                                       sampling=sampling,
@@ -312,6 +314,13 @@ def main(argv=None) -> None:
                         "(Megatron-style rules, XLA collectives; the "
                         "rebuild of the reference's device_map='auto' "
                         "multi-GPU placement)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="slot-shard degree: shard the engine's slot "
+                        "state and KV cache over a 'data' mesh axis "
+                        "(per-chip KV = slots/dp — the scaling lever "
+                        "for 72B-class serving where replicated KV "
+                        "outgrows one chip's HBM); composes with --tp "
+                        "on a (data, model) mesh")
     p.add_argument("--spec-k", type=int, default=0,
                    help="n-gram speculative decoding (lossless: "
                         "token-identical under greedy, distribution-"
@@ -324,7 +333,7 @@ def main(argv=None) -> None:
         args.weights, args.allow_synth_weights, quant_bits=bits,
         kv_bits=args.kv_bits, max_len=args.max_len, slots=args.slots,
         sync_steps=args.sync_steps, resolution=args.size,
-        spec_k=args.spec_k, tp=args.tp)
+        spec_k=args.spec_k, tp=args.tp, dp=args.dp)
     worker = EngineWorker(engine)
     srv = ThreadingHTTPServer(("0.0.0.0", args.port),
                               make_vlm_handler(worker, prep_fn, tokenizer,
@@ -332,6 +341,7 @@ def main(argv=None) -> None:
     print(f"serving VLM generation on :{args.port} — mode: {mode}, "
           f"{args.slots} slots, kv{args.kv_bits}"
           + (f", tp={args.tp}" if args.tp > 1 else "")
+          + (f", dp={args.dp}" if args.dp > 1 else "")
           + (f", spec_k={args.spec_k}" if args.spec_k else ""),
           flush=True)
     srv.serve_forever()

@@ -332,30 +332,58 @@ class ContinuousBatchingEngine:
         # static token-buffer cap of the step jits (the traced trip
         # count k_dyn varies per dispatch underneath it)
         self._cap = self.chunk_max if self.adaptive else sync_steps
-        # --- tensor parallelism ------------------------------------------
-        # ``mesh``: a jax.sharding.Mesh with a 'model' axis. The
-        # generator's weights (text + vision, fp or quantized) are
+        # --- tensor / data parallelism -------------------------------------
+        # ``mesh``: a jax.sharding.Mesh with 'model' and/or 'data' axes.
+        # The generator's weights (text + vision, fp or quantized) are
         # sharded IN PLACE by the Megatron-style qwen_param_rules —
         # qkv/gate/up on the output dim, o/down on the input dim, the
         # untied lm head on the vocab dim — so every engine dispatch
         # (vision+prefill, decode steps, spec verify) runs as one GSPMD
-        # program with XLA-inserted collectives riding ICI. Slot state
-        # and the KV cache are REPLICATED (TP shards the weights, which
-        # dominate HBM at serving batch sizes); this is the rebuild of
-        # the reference's multi-GPU ``device_map="auto"`` placement
-        # (model_v.py:55) without its per-layer host hops. Token parity
-        # with the single-device engine: tests/test_engine.py (TP=2).
+        # program with XLA-inserted collectives riding ICI. This is the
+        # rebuild of the reference's multi-GPU ``device_map="auto"``
+        # placement (model_v.py:55) without its per-layer host hops.
+        #
+        # Slot state placement: with a 'data' axis of size D > 1 the
+        # SLOT axis of everything per-slot — tokens/pos/lengths/done/
+        # remaining/presence/hist and the KV cache's slot dim — is
+        # sharded over 'data', so per-chip KV HBM is n_slots/D slots
+        # (the lever BENCH.md's 72B arithmetic needs: 64 slots × 335 MB
+        # of int8 KV = 21 GB replicated, but 2.6 GB/chip at data=8).
+        # Decode is embarrassingly per-slot, so GSPMD runs the step
+        # with zero collectives on the data axis (TP's per-layer
+        # psums ride 'model' within each data replica); only install's
+        # scatter of a replicated prefill group crosses replicas.
+        # Without a 'data' axis (or D == 1) slot state is replicated —
+        # the pure-TP mode. Token parity with the single-device engine:
+        # tests/test_engine.py (TP=2, DP=2, DP×TP=2×2).
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
+            from vlm_clip_tpu.parallel.mesh import DATA_AXIS
             from vlm_clip_tpu.parallel.sharding import (qwen_param_rules,
                                                         shard_params)
             gen.params = shard_params(gen.params, mesh,
                                       rules=qwen_param_rules())
             self._replicate = lambda t: jax.device_put(
                 t, NamedSharding(mesh, PartitionSpec()))
+            dp = mesh.shape.get(DATA_AXIS, 1)
+            if dp > 1:
+                if n_slots % dp:
+                    raise ValueError(
+                        f"n_slots ({n_slots}) must divide the mesh's "
+                        f"data axis ({dp}) to shard slot state")
+
+                def _slot_shard(t, slot_dim):
+                    spec = [None] * t.ndim
+                    spec[slot_dim] = DATA_AXIS
+                    return jax.device_put(
+                        t, NamedSharding(mesh, PartitionSpec(*spec)))
+                self._slot_shard = _slot_shard
+            else:
+                self._slot_shard = lambda t, slot_dim: self._replicate(t)
         else:
             self._replicate = lambda t: t
+            self._slot_shard = lambda t, slot_dim: t
         # n-gram speculative decoding: verify K draft tokens per forward
         # (vlm/speculative.py). Lossless in BOTH decode modes: greedy
         # acceptance is token-identical; sampled configs run exact
@@ -392,25 +420,31 @@ class ContinuousBatchingEngine:
             if c <= n_slots) or (1,)
         self._stops = (self.cfg.eos_token_id,) + tuple(self.scfg.extra_eos)
 
-        # --- device state (replicated over the mesh when present) ---------
+        # --- device state (slot axis sharded over 'data' when the mesh
+        # has one; replicated otherwise) ------------------------------------
         self._key = self._replicate(jax.random.PRNGKey(seed))
-        self.cache = self._replicate(
-            init_kv_cache(self.cfg.text, n_slots, gen.max_len,
-                          gen.dtype, gen.kv_quantized))
-        self.tokens = self._replicate(jnp.zeros((n_slots,), jnp.int32))
-        self.pos = self._replicate(jnp.zeros((n_slots,), jnp.int32))
-        self.lengths = self._replicate(jnp.zeros((n_slots,), jnp.int32))
-        self.done = self._replicate(jnp.ones((n_slots,), bool))  # free
-        self.remaining = self._replicate(jnp.zeros((n_slots,), jnp.int32))
+        cache0 = init_kv_cache(self.cfg.text, n_slots, gen.max_len,
+                               gen.dtype, gen.kv_quantized)
+        self.cache = KVCache(*(
+            t if t is None else
+            (self._replicate(t) if t.ndim == 0 else self._slot_shard(t, 1))
+            for t in cache0))
+        self.tokens = self._slot_shard(jnp.zeros((n_slots,), jnp.int32), 0)
+        self.pos = self._slot_shard(jnp.zeros((n_slots,), jnp.int32), 0)
+        self.lengths = self._slot_shard(jnp.zeros((n_slots,), jnp.int32), 0)
+        self.done = self._slot_shard(jnp.ones((n_slots,), bool), 0)  # free
+        self.remaining = self._slot_shard(
+            jnp.zeros((n_slots,), jnp.int32), 0)
         pdim = self.cfg.text.vocab_size if self.scfg.needs_presence else 1
-        self.presence = self._replicate(jnp.zeros((n_slots, pdim), bool))
+        self.presence = self._slot_shard(
+            jnp.zeros((n_slots, pdim), bool), 0)
         if self.spec_k:
             # per-slot generated history for the n-gram lookup
             # (+1 scrap column for masked scatters)
-            self.hist = self._replicate(
-                jnp.zeros((n_slots, gen.max_len + 1), jnp.int32))
-            self.gen_count = self._replicate(
-                jnp.zeros((n_slots,), jnp.int32))
+            self.hist = self._slot_shard(
+                jnp.zeros((n_slots, gen.max_len + 1), jnp.int32), 0)
+            self.gen_count = self._slot_shard(
+                jnp.zeros((n_slots,), jnp.int32), 0)
 
         # --- host state ----------------------------------------------------
         self._queue: "collections.deque[_Pending]" = collections.deque()
