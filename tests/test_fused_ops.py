@@ -409,6 +409,43 @@ def test_nf4_matmul_and_bias():
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_nf4_fused_route_matches_materialize():
+    """The fused row-pair route (select-tree codebook dequant in the
+    dot operands) must match dequantize_nf4 + dot on every shape class
+    it serves: unpadded K, block-padded K, 3-D inputs, and the M cutoff
+    boundary; the select tree itself must reproduce the codebook
+    exactly."""
+    from vlm_clip_tpu.ops import nf4 as NF
+
+    code = np.asarray(
+        NF._code_select_tree(jnp.arange(16, dtype=jnp.uint8)))
+    np.testing.assert_array_equal(code, NF.NF4_CODE)
+
+    rng = np.random.default_rng(7)
+    for K, N_, M in ((128, 48, 1), (100, 33, 5), (192, 64, 24)):
+        w = (rng.normal(size=(K, N_)) * 0.04).astype(np.float32)
+        q = NF.quantize_nf4(jnp.asarray(w))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        ref = np.asarray(x) @ np.asarray(NF.dequantize_nf4(q))
+        got = np.asarray(NF._nf4_matmul_fused(x, q))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    # 3-D input goes through the fused route via the public API
+    w = (rng.normal(size=(128, 40)) * 0.04).astype(np.float32)
+    q = NF.quantize_nf4(jnp.asarray(w))
+    x3 = jnp.asarray(rng.normal(size=(2, 3, 128)).astype(np.float32))
+    ref = np.asarray(x3) @ np.asarray(NF.dequantize_nf4(q))
+    np.testing.assert_allclose(np.asarray(NF.nf4_matmul(x3, q)), ref,
+                               atol=1e-4, rtol=1e-4)
+
+    # above the cutoff the materialize route serves, same numbers
+    xl = jnp.asarray(
+        rng.normal(size=(NF._NF4_FUSED_MAX_M + 8, 128)).astype(np.float32))
+    ref = np.asarray(xl) @ np.asarray(NF.dequantize_nf4(q))
+    np.testing.assert_allclose(np.asarray(NF.nf4_matmul(xl, q)), ref,
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_nf4_beats_symmetric_int4_on_gaussian_weights():
     """The quality rationale for the preset: on normally-distributed
     weights (what trained linear layers look like), blockwise NF4's

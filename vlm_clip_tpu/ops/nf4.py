@@ -189,21 +189,85 @@ def dequantize_nf4(q: NF4Linear, dtype=jnp.float32) -> jnp.ndarray:
     return w[:q.in_features, :q.out_features].astype(dtype)
 
 
+def _code_select_tree(nib: jnp.ndarray) -> jnp.ndarray:
+    """NF4 code index [..] uint8 -> fp32 code VALUE, branchlessly.
+
+    A depth-4 binary select tree on the nibble bits (8+4+2+1 = 15
+    ``where``s + 4 bit tests) replaces the 16-entry gather. Every op is
+    elementwise, so XLA treats the whole lookup like the int4/int8
+    arithmetic dequants — fusable into the consuming dot's operand
+    load — where a gather never is (gathers are the reason the
+    materialize route runs ~20 ms on the 3B head; measured BENCH.md
+    round 4)."""
+    bits = [(nib & (1 << b)) > 0 for b in range(4)]
+    level = [jnp.float32(c) for c in NF4_CODE]
+    for b in range(4):
+        level = [jnp.where(bits[b], level[2 * i + 1], level[2 * i])
+                 for i in range(len(level) // 2)]
+    return level[0]
+
+
+def _nf4_matmul_fused(x2: jnp.ndarray, q: NF4Linear) -> jnp.ndarray:
+    """Fused-XLA row-pair NF4 matmul: x2 [M, in] -> [M, out] fp32.
+
+    Same formulation as ops/quant._int4_gemv_xla — split x into even/
+    odd input rows matching the low/high nibbles, dequantize each
+    nibble plane with a pure-elementwise chain (select-tree codebook ×
+    broadcast block absmax), and let XLA fuse the chain into the two
+    fp32 dot operands. The block absmax [nblk, out] is dequantized
+    once per call (tiny: in/64 × out fp32) and broadcast across each
+    block's 32 packed rows by reshape — elementwise, no repeat.
+    """
+    K = q.in_features
+    xe = x2[:, 0:K:2].astype(jnp.float32)
+    xo = x2[:, 1:K:2].astype(jnp.float32)
+    K2p = q.qweight.shape[0]
+    # block-padded rows (and the odd-K high nibble): zero x contribution
+    if K2p > xe.shape[1]:
+        xe = jnp.pad(xe, ((0, 0), (0, K2p - xe.shape[1])))
+    if K2p > xo.shape[1]:
+        xo = jnp.pad(xo, ((0, 0), (0, K2p - xo.shape[1])))
+    am = _dequant_absmax(q)                       # [nblk, N] fp32
+    nblk, N = am.shape
+    half = q.block // 2                           # packed rows per block
+    am2 = jnp.broadcast_to(am[:, None, :], (nblk, half, N)).reshape(
+        nblk * half, N)                           # [Kp/2, N]
+    lo = _code_select_tree(q.qweight & 0xF) * am2
+    hi = _code_select_tree(q.qweight >> 4) * am2
+    return (jnp.dot(xe, lo, preferred_element_type=jnp.float32)
+            + jnp.dot(xo, hi, preferred_element_type=jnp.float32))
+
+
+# prefill-size cutoff for the fused route (mirrors ops/quant's int4
+# routing): at large M the matmul is compute-bound and re-running the
+# dequant chain per M tile costs more than one bf16 materialization
+_NF4_FUSED_MAX_M = 1024
+
+
 def nf4_matmul(x: jnp.ndarray, q: NF4Linear, out_dtype=None
                ) -> jnp.ndarray:
     """x [.., in] @ dequant(q) [in, out] (+bias), fp32 accumulation.
 
-    The 16-entry codebook gather does not fuse into XLA dot operands
-    (unlike the int8/int4 arithmetic dequants in ops/quant.py), so the
-    dequantized weight materializes per call — bf16 on TPU to halve
-    that traffic and ride the MXU, fp32 elsewhere (parity tests). See
-    the module docstring for the speed/quality positioning vs int4.
+    Routing (measured on the 3B untied head [2048, 151936], BENCH.md
+    round 4): decode/verify shapes (M <= 1024) take the fused row-pair
+    route — the select-tree codebook replaces the gather, so the
+    dequant chain fuses into the dot operands like the int4 route and
+    no fp weight reaches HBM. Large-M prefill takes the bf16
+    materialize route (compute-bound there). The 16-entry gather is
+    never used in a matmul: it is what made NF4 ~9-18x slower than
+    int4 before this route (the gather itself, not the bytes).
     """
-    mat_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
-        else jnp.float32
-    w = dequantize_nf4(q, mat_dtype)
-    y = jnp.dot(x.astype(mat_dtype), w,
-                preferred_element_type=jnp.float32)
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    if M <= _NF4_FUSED_MAX_M:
+        y = _nf4_matmul_fused(x.reshape(M, x.shape[-1]), q)
+        y = y.reshape(*lead, q.out_features)
+    else:
+        mat_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+        w = dequantize_nf4(q, mat_dtype)
+        y = jnp.dot(x.astype(mat_dtype), w,
+                    preferred_element_type=jnp.float32)
     if q.bias is not None:
         y = y + q.bias.astype(jnp.float32)
     return y.astype(out_dtype or x.dtype)
