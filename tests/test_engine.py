@@ -321,8 +321,8 @@ def test_engine_dp2_tp2_matches_single_device(fixture):
 
 
 def test_engine_dp_rejects_indivisible_slots(fixture):
-    """n_slots must divide the data axis (each replica owns an equal
-    slot shard)."""
+    """n_slots must be divisible by the data axis (each replica owns an
+    equal slot shard)."""
     cfg, params = fixture
     gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
     with pytest.raises(ValueError, match="data axis"):

@@ -843,3 +843,71 @@ def test_7b_72b_presets_invariants():
             assert (t.num_heads * t.head_dim) % m == 0   # q out dim
             assert t.intermediate_size % m == 0          # gate/up out
         assert cfg.vision.out_hidden_size == t.hidden_size
+
+
+def test_nf4_generate_matches_dequant_oracle(converted):
+    """End-to-end generate() with quant_bits="nf4" (VERDICT r4 #1): the
+    fused select-tree matmul route through the FULL model (vmapped
+    per-layer NF4 leaves under the decode scan + nf4 untied head)
+    produces the same greedy tokens as the SAME quantized weights
+    explicitly dequantized to dense fp — pinning the route, not just
+    the unit matmul — and the nf4 prefill logits track the fp model
+    within 4-bit quant tolerance.
+
+    Reference behavior: bitsandbytes NF4 + double quant on the whole
+    VLM, model_v.py:46-51."""
+    import dataclasses
+
+    from vlm_clip_tpu.ops.nf4 import NF4Linear, dequantize_nf4
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg, params = converted
+    qn = QC.quantize_qwen_params(params, "nf4", head_bits="nf4")
+    assert isinstance(qn["text"]["layers"]["mlp"]["gate"], NF4Linear)
+    assert isinstance(qn["text"]["lm_head"], NF4Linear)
+
+    def to_dense(node):
+        if not isinstance(node, NF4Linear):
+            return node
+        if node.qweight.ndim == 3:  # stacked per-layer leaves
+            dq = jax.vmap(
+                lambda q: dequantize_nf4(q, jnp.float32))(
+                    dataclasses.replace(node, bias=None))
+        else:
+            dq = dequantize_nf4(node, jnp.float32)
+        return {"kernel": dq, "bias": node.bias}
+
+    dense = jax.tree.map(
+        to_dense, qn, is_leaf=lambda x: isinstance(x, NF4Linear))
+
+    untied = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text,
+                                      tie_word_embeddings=False))
+    vcfg = cfg.vision
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    n_vis = 64 // 4
+    ids = np.asarray([1, 2, VIS_START] + [IMG_TOK] * n_vis + [3, 4],
+                     np.int64)
+    vin = QP.prepare_vision_inputs(img, vcfg, fixed_resolution=32)
+
+    gen_nf4 = QwenVLGenerator(qn, untied, max_len=128, dtype=jnp.float32)
+    got = gen_nf4.generate_from_ids(ids, vin, max_new_tokens=6)
+    gen_dense = QwenVLGenerator(dense, untied, max_len=128,
+                                dtype=jnp.float32)
+    ref = gen_dense.generate_from_ids(ids, vin, max_new_tokens=6)
+    assert got == ref, (got, ref)
+
+    # quant tolerance vs fp: prefill argmax agreement (4-bit everything)
+    rng = np.random.default_rng(18)
+    tids = rng.integers(1, 200, (1, 9))
+    pos = np.broadcast_to(np.arange(9), (3, 1, 9))
+    embeds = params["text"]["embed_tokens"][jnp.asarray(tids)]
+    mask = jnp.where(jnp.tril(jnp.ones((9, 9), bool))[None, None], 0.0,
+                     -3.4028235e38)
+    fp, _ = QM.text_forward(params["text"], embeds, jnp.asarray(pos),
+                            cfg.text, mask)
+    nq, _ = QM.text_forward(qn["text"], embeds, jnp.asarray(pos),
+                            untied.text, mask)
+    agree = (np.asarray(fp).argmax(-1) == np.asarray(nq).argmax(-1))
+    assert agree.mean() >= 0.6, agree.mean()

@@ -265,6 +265,11 @@ def build_engine(weights: Optional[str], allow_synth: bool,
                 f"{len(devs)} ({devs}); for a virtual mesh set XLA_FLAGS="
                 f"--xla_force_host_platform_device_count={need}")
         mesh = create_mesh(MeshConfig(data=dp, model=tp), devs[:need])
+        if dp > 1 and slots % dp:
+            raise SystemExit(
+                f"--slots {slots} is not divisible by --dp {dp}; each "
+                f"data replica owns an equal slot shard — adjust --slots "
+                f"(e.g. {slots - slots % dp or dp}) or --dp")
     engine = ContinuousBatchingEngine(gen, n_slots=slots,
                                       sync_steps=sync_steps,
                                       sampling=sampling,

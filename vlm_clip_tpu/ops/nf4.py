@@ -31,13 +31,20 @@ Blocking runs along the input dim of OUR [in, out] kernel layout
 quantizer, transposed storage order; error statistics are identical
 because blocks see the same per-output-row values).
 
-Matmul: the codebook lookup is a 16-entry gather, which XLA does NOT
-fuse into a dot operand the way it fuses the int8/int4 arithmetic
-dequant — NF4 matmuls therefore materialize the dequantized bf16
-weight per call. That makes NF4 a QUALITY preset, not a speed preset:
-decode streams ~4x the bytes of the fused int4 route (A/B in BENCH.md
-round 4). Use ``quant_bits="nf4"`` where NF4-faithful numerics matter
-and int8/int4 where throughput does.
+Matmul: a 16-entry codebook GATHER does not fuse into a dot operand
+(that route materialized the bf16 weight per call, ~20 ms on the 3B
+head), but a depth-4 branchless SELECT TREE on the nibble bits does:
+:func:`_code_select_tree` turns the lookup into 15 elementwise
+``where``s, which XLA fuses into the row-pair dot operands exactly
+like the int4/int8 arithmetic dequants. Measured on the 3B untied head
+[2048, 151936] (BENCH.md round 5), the fused route wins at EVERY
+measured M — 5.5 ms at M=8 and 20.8 ms at M=4096 vs the materialize
+route's flat ~21-31 ms — so all M <= 4096 route through it; beyond the
+measured range the bf16 materialize route remains as the conservative
+fallback. NF4 is still ~2x routed int4 (5.5 vs 2.6 ms at M=8: the
+fp32 dots plus the absmax-dequant broadcast), so int8/int4 remain the
+speed presets and NF4 the quality preset (~0.61x int4's RMS error on
+gaussian weights).
 """
 
 from __future__ import annotations
@@ -196,9 +203,9 @@ def _code_select_tree(nib: jnp.ndarray) -> jnp.ndarray:
     ``where``s + 4 bit tests) replaces the 16-entry gather. Every op is
     elementwise, so XLA treats the whole lookup like the int4/int8
     arithmetic dequants — fusable into the consuming dot's operand
-    load — where a gather never is (gathers are the reason the
-    materialize route runs ~20 ms on the 3B head; measured BENCH.md
-    round 4)."""
+    load — where a gather never is. Measured on the 3B head (BENCH.md
+    round 5): 5.5/6.4/9.5 ms at M=8/320/1024 vs the gather-materialize
+    route's flat ~21 ms."""
     bits = [(nib & (1 << b)) > 0 for b in range(4)]
     level = [jnp.float32(c) for c in NF4_CODE]
     for b in range(4):
@@ -238,10 +245,12 @@ def _nf4_matmul_fused(x2: jnp.ndarray, q: NF4Linear) -> jnp.ndarray:
             + jnp.dot(xo, hi, preferred_element_type=jnp.float32))
 
 
-# prefill-size cutoff for the fused route (mirrors ops/quant's int4
-# routing): at large M the matmul is compute-bound and re-running the
-# dequant chain per M tile costs more than one bf16 materialization
-_NF4_FUSED_MAX_M = 1024
+# Cutoff for the fused route = the edge of measurement: the select-tree
+# route won at every measured M (8..4096, BENCH.md round 5 — 20.8 vs
+# 31.3 ms even at M=4096). Beyond it the per-M-tile re-dequant cost
+# keeps growing while the materialize route pays its ~622 MB weight
+# write once, so bulk-prefill M falls back to bf16 materialize.
+_NF4_FUSED_MAX_M = 4096
 
 
 def nf4_matmul(x: jnp.ndarray, q: NF4Linear, out_dtype=None
@@ -249,13 +258,16 @@ def nf4_matmul(x: jnp.ndarray, q: NF4Linear, out_dtype=None
     """x [.., in] @ dequant(q) [in, out] (+bias), fp32 accumulation.
 
     Routing (measured on the 3B untied head [2048, 151936], BENCH.md
-    round 4): decode/verify shapes (M <= 1024) take the fused row-pair
-    route — the select-tree codebook replaces the gather, so the
-    dequant chain fuses into the dot operands like the int4 route and
-    no fp weight reaches HBM. Large-M prefill takes the bf16
-    materialize route (compute-bound there). The 16-entry gather is
-    never used in a matmul: it is what made NF4 ~9-18x slower than
-    int4 before this route (the gather itself, not the bytes).
+    round 5): M <= 4096 takes the fused row-pair route — the
+    select-tree codebook replaces the gather, so the dequant chain
+    fuses into the dot operands like the int4 route and no fp weight
+    reaches HBM. Measured: 5.5/6.4/9.5/13.2/20.8 ms at
+    M=8/320/1024/2048/4096 vs the materialize route's ~21-31 ms (2.4-
+    3.9x); still ~2x routed int4, so int8/int4 remain the speed picks.
+    Beyond the measured range (bulk prefill) the bf16 materialize
+    route is the conservative fallback. The 16-entry gather is never
+    used in a matmul: it is what made NF4 ~9-18x slower than int4
+    before this route (the gather itself, not the bytes).
     """
     lead = x.shape[:-1]
     M = int(np.prod(lead)) if lead else 1

@@ -370,8 +370,8 @@ class ContinuousBatchingEngine:
             if dp > 1:
                 if n_slots % dp:
                     raise ValueError(
-                        f"n_slots ({n_slots}) must divide the mesh's "
-                        f"data axis ({dp}) to shard slot state")
+                        f"n_slots ({n_slots}) must be divisible by the "
+                        f"mesh data axis ({dp}) to shard slot state")
 
                 def _slot_shard(t, slot_dim):
                     spec = [None] * t.ndim
