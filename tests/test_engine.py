@@ -254,6 +254,41 @@ def test_engine_tp2_speculative_sampled(fixture):
         assert all(0 <= t < VOCAB for t in got[rid])
 
 
+def test_engine_tp2_nf4_matches_single_device(fixture):
+    """NF4 weights under the TP engine (VERDICT r4 #2): shard_params
+    places NF4Linear leaves coherently (qweight + absmax_q on the out
+    dim where the rule shards it, dq_scale/dq_offset replicated) and
+    the fused select-tree matmul partitions under GSPMD —
+    token-identical to the same NF4 weights unsharded. The reference
+    composes exactly these two features (bitsandbytes NF4 +
+    device_map='auto', model_v.py:46-55)."""
+    from vlm_clip_tpu.ops.nf4 import NF4Linear
+    from vlm_clip_tpu.vlm import qwen_convert as QC
+
+    cfg, params = fixture
+    qn = QC.quantize_qwen_params(params, "nf4")
+    assert isinstance(qn["text"]["layers"]["mlp"]["gate"], NF4Linear)
+    ids, visions = _requests(cfg, 4, seed=33)
+    budgets = [5, 3, 6, 4]
+
+    gen_ref = QwenVLGenerator(qn, cfg, max_len=96, dtype=jnp.float32)
+    ref_eng = ContinuousBatchingEngine(gen_ref, n_slots=2, sync_steps=3,
+                                       refill_chunks=(2, 1))
+    ref_ids = [ref_eng.submit(ids, v, max_new_tokens=m)
+               for v, m in zip(visions, budgets)]
+    want = ref_eng.flush()
+
+    gen_tp = QwenVLGenerator(qn, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen_tp, n_slots=2, sync_steps=3,
+                                   refill_chunks=(2, 1),
+                                   mesh=_tp_mesh(2))
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    got = eng.flush()
+    for rid, wid in zip(rids, ref_ids):
+        assert got[rid] == want[wid], (got[rid], want[wid])
+
+
 def _dp_mesh(data, model=1):
     import jax
 

@@ -376,3 +376,44 @@ def test_orbax_async_save_matches_sync(tmp_path, setup):
     # the in-flight save captured the pre-continue state, not `cont`
     assert int(r_async.step) == 1 and int(cont.step) == 2
     saver.close()
+
+
+def test_nf4_shard_params_layout():
+    """NF4Linear placement (VERDICT r4 #2): out-dim-sharded rules put
+    qweight AND absmax_q on the model axis; dq_scale/dq_offset always
+    replicate (their groups run over the flattened absmax, no coherent
+    per-dim shard); in-dim-sharded rules (mlp.down) shard qweight only."""
+    from vlm_clip_tpu.ops.nf4 import quantize_nf4
+    from vlm_clip_tpu.parallel.mesh import MODEL_AXIS
+    from vlm_clip_tpu.parallel.sharding import qwen_param_rules
+
+    mesh = create_mesh(MeshConfig(data=1, model=2), jax.devices()[:2])
+    k = jax.random.PRNGKey(0)
+    # stacked per-layer leaves (the quantize_qwen_params layout)
+    gate = jax.vmap(quantize_nf4)(jax.random.normal(k, (2, 128, 256)))
+    down = jax.vmap(quantize_nf4)(jax.random.normal(k, (2, 256, 128)))
+    head = quantize_nf4(jax.random.normal(k, (128, 256)))
+    tree = {"text": {"layers": {"mlp": {"gate": gate, "down": down}},
+                     "lm_head": head}}
+    sp = shard_params(tree, mesh, rules=qwen_param_rules())
+
+    g = sp["text"]["layers"]["mlp"]["gate"]
+    assert g.qweight.sharding.spec == P(None, None, MODEL_AXIS)
+    assert g.absmax_q.sharding.spec == P(None, None, MODEL_AXIS)
+    assert g.dq_scale.sharding.spec == P()
+    assert g.dq_offset.sharding.spec == P()
+
+    d = sp["text"]["layers"]["mlp"]["down"]
+    assert d.qweight.sharding.spec == P(None, MODEL_AXIS, None)
+    assert d.absmax_q.sharding.spec == P()   # in-dim rule: replicate
+
+    h = sp["text"]["lm_head"]                # 2-D untied head
+    assert h.qweight.sharding.spec == P(None, MODEL_AXIS)
+    assert h.absmax_q.sharding.spec == P(None, MODEL_AXIS)
+    assert h.dq_scale.sharding.spec == P()
+    # fused matmul on the sharded head == dense reference
+    from vlm_clip_tpu.ops.nf4 import dequantize_nf4, nf4_matmul
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+    got = np.asarray(nf4_matmul(x, h))
+    ref = np.asarray(x @ dequantize_nf4(head, jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

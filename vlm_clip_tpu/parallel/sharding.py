@@ -137,14 +137,31 @@ def shard_params(params: Any, mesh: Mesh,
     pallas_call; the pure-XLA formulations partition natively) — scoped
     per weight so sharding one model never degrades the int4 kernel for
     other models in the same process.
+
+    ``NF4Linear`` layout (the reference's bitsandbytes NF4 preset,
+    model_v.py:46-55 — NF4 *and* multi-device placement together):
+    ``qweight`` follows the kernel rule for its path; ``absmax_q``
+    shares the out dim with qweight, so it shards alongside — but ONLY
+    when the rule shards the LAST (out) dim, which keeps NF4's
+    input-dim block structure intact per shard. ``dq_scale``'s groups
+    run over the FLATTENED [nblk*out] absmax in row-major order, so no
+    per-dim shard of it is coherent: dq_scale and dq_offset always
+    replicate (tiny: ~nblk*out/256 fp32). For in-dim-sharded rules
+    (attn.o / mlp.down) absmax_q also replicates and GSPMD reshards
+    the dequant broadcast — semantically exact, slightly more traffic.
     """
     import dataclasses
 
+    from vlm_clip_tpu.ops.nf4 import NF4Linear
     from vlm_clip_tpu.ops.quant import QuantizedLinear
 
     def _sharded_spec(path, x):
         """(spec, actually_partitioned) after divisibility fallback."""
         spec = spec_for_path(path, rules)
+        if len(tuple(spec)) > x.ndim:
+            # rule written for stacked [L, ...] leaves applied to an
+            # unstacked array: replicate rather than guess a dim map
+            return P(), False
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
@@ -159,8 +176,34 @@ def shard_params(params: Any, mesh: Mesh,
         spec, _ = _sharded_spec(path, x)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    def _place_spec(x, spec):
+        """device_put with an explicit spec, replicating on indivisible
+        dims (same fallback contract as the rule-derived path)."""
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else 1
+            if dim >= x.ndim or x.shape[dim] % size != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     def _place(kp, node):
         path = _path_str(kp)
+        if isinstance(node, NF4Linear):
+            qspec, _ = _sharded_spec(path + "/qweight", node.qweight)
+            out_dim_only = (len(tuple(qspec)) > 0
+                            and all(a is None
+                                    for a in tuple(qspec)[:-1]))
+            am_spec = qspec if out_dim_only else P()
+            return dataclasses.replace(
+                node,
+                qweight=_place_arr(path + "/qweight", node.qweight),
+                absmax_q=_place_spec(node.absmax_q, am_spec),
+                dq_scale=_place_spec(node.dq_scale, P()),
+                dq_offset=_place_spec(node.dq_offset, P()),
+                bias=None if node.bias is None
+                else _place_arr(path + "/bias", node.bias))
         if isinstance(node, QuantizedLinear):
             _, qw_part = _sharded_spec(path + "/qweight", node.qweight)
             placed = dataclasses.replace(
@@ -179,7 +222,7 @@ def shard_params(params: Any, mesh: Mesh,
 
     return jax.tree_util.tree_map_with_path(
         _place, params,
-        is_leaf=lambda n: isinstance(n, QuantizedLinear))
+        is_leaf=lambda n: isinstance(n, (QuantizedLinear, NF4Linear)))
 
 
 # ---------------------------------------------------------------------------
