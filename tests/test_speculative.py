@@ -276,3 +276,49 @@ def test_spec_engine_sampled_checkpoint_config(fixture):
     # the fixed seeds (catches gross distribution skew, not 1% biases —
     # exactness is pinned by the Monte-Carlo verify_round tests above)
     assert 0.5 * np.abs(f_v - f_s).sum() < 0.30, (f_v, f_s)
+
+
+def test_spec_engine_seeds_hist_with_prompt(fixture):
+    """Install seeds each slot's n-gram window with the PROMPT tokens
+    (prompt lookup proper, VERDICT r4 #7): gen_count starts at the
+    prompt length and hist[:T] holds the prompt ids, so the first
+    drafts can continue prompt phrases."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 2, seed=41)
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   spec_k=2, refill_chunks=(2, 1))
+    for v in visions:
+        eng.submit(ids, v, max_new_tokens=4)
+    eng._refill()           # install without decoding
+    T = len(ids)
+    gc = np.asarray(eng.gen_count)
+    assert (gc[:2] == T).all(), gc
+    h = np.asarray(eng.hist)
+    for s in range(2):
+        assert h[s, :T].tolist() == list(ids), s
+
+
+def test_spec_engine_prompt_lookup_matches_vanilla(fixture):
+    """A prompt whose tail n-gram repeats inside the prompt produces
+    prompt-sourced drafts; the output must STILL be token-identical to
+    the vanilla engine (losslessness is draft-source-independent)."""
+    cfg, params = fixture
+    _, visions = _requests(cfg, 3, seed=42)
+    n_vis = 16
+    # trailing text repeats an earlier prompt phrase => prompt match
+    ids = np.asarray([1, 2, 249] + [250] * n_vis
+                     + [5, 6, 7, 8, 9, 5, 6, 7], np.int64)
+    gen_v = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    ref = ContinuousBatchingEngine(gen_v, n_slots=2, sync_steps=3,
+                                   refill_chunks=(2, 1))
+    rv = [ref.submit(ids, v, max_new_tokens=6) for v in visions]
+    want = ref.flush()
+
+    gen_s = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen_s, n_slots=2, sync_steps=3,
+                                   spec_k=3, refill_chunks=(2, 1))
+    rs = [eng.submit(ids, v, max_new_tokens=6) for v in visions]
+    got = eng.flush()
+    for a, b in zip(rs, rv):
+        assert got[a] == want[b], (got[a], want[b])

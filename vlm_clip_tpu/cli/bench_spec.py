@@ -109,12 +109,16 @@ def word_tokens(text: str):
     return out, vocab
 
 
-def oracle_acceptance(tokens, k: int, n: int = 2, warmup: int = 0):
+def oracle_acceptance(tokens, k: int, n: int = 2, warmup: int = 0,
+                      prompt=()):
     """Walk spec rounds along a known token stream: at each round the
     engine would emit the carried token, draft K continuations from the
-    emitted history, and accept the longest prefix agreeing with the
-    model — which, for a model emitting exactly this stream, is the
-    stream's true continuation. Returns (rounds, emitted, accepted)."""
+    window, and accept the longest prefix agreeing with the model —
+    which, for a model emitting exactly this stream, is the stream's
+    true continuation. ``prompt`` seeds the window first, exactly as
+    the engine seeds ``hist`` at install (prompt-lookup proper): drafts
+    may then continue matches found in the prompt. Returns
+    (rounds, accepted)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -125,26 +129,33 @@ def oracle_acceptance(tokens, k: int, n: int = 2, warmup: int = 0):
     # dispatches through the TPU tunnel pay ~30 ms RTT each
     cpu = jax.devices("cpu")[0]
 
-    H = len(tokens) + 1
+    P = len(prompt)
+    H = P + len(tokens) + 1
     hist = np.zeros((1, H), np.int32)
-    g = 0
+    hist[0, :P] = prompt
+    g = P          # valid tokens in the window (prompt + emitted)
+    i = 0          # position in the output stream
     rounds = accepted = 0
-    while g < len(tokens):
-        hist[0, g] = tokens[g]
+    while i < len(tokens):
+        hist[0, g] = tokens[i]
         g += 1
-        if g >= len(tokens):
+        i += 1
+        if i >= len(tokens):
             break
         with jax.default_device(cpu):
             draft = np.asarray(ngram_draft(jnp.asarray(hist),
                                            jnp.asarray([g]), k, n=n))[0]
-        true = tokens[g:g + k]
+        true = tokens[i:i + k]
         a = 0
         while a < len(true) and draft[a] == true[a]:
             a += 1
-        if g > warmup:
+        if i > warmup:
             rounds += 1
             accepted += a
+        for j in range(a):
+            hist[0, g + j] = tokens[i + j]
         g += a
+        i += a
     return rounds, accepted
 
 
@@ -184,6 +195,39 @@ def main(argv=None):
     acc_long = a / r
     print(f"  K=4 over one concatenated long stream: {acc_long:.2f} "
           f"accepted/round (phrase reuse across paragraphs)", flush=True)
+
+    # ---- prompt-seeded window (prompt lookup proper) ---------------------
+    # The engine seeds hist with the prompt at install; three workload
+    # models, ordered by how much output text the prompt anticipates:
+    #   instruction — the extraction instruction alone (phrases like
+    #     "facial expression" recur in the output a handful of times);
+    #   paraphrase  — a previous description of a DIFFERENT image in
+    #     the prompt (multi-turn / few-shot): the output reuses the
+    #     corpus scaffold ("The person in the image appears to be
+    #     experiencing ...", "Their eyes are ...");
+    #   re-describe — the SAME description in the prompt (refine/repeat
+    #     /OCR-style loads): the output is essentially a prompt replay.
+    from vlm_clip_tpu.vlm.extractor import VLM_PROMPT
+    print("prompt-seeded acceptance (engine seeds hist with the "
+          "prompt at install), K=4:")
+    acc_seeded = {}
+    for name, make in (
+        ("instruction", lambda t: (VLM_PROMPT, t)),
+        ("paraphrase", lambda t: (VLM_PROMPT + " " + CORPUS[
+            (CORPUS.index(t) + 1) % len(CORPUS)], t)),
+        ("re-describe", lambda t: (VLM_PROMPT + " " + t, t)),
+    ):
+        rounds = accepted = 0
+        for text in CORPUS:
+            ptxt, otxt = make(text)
+            toks, _ = word_tokens(ptxt + " \x00 " + otxt)
+            plen = len(ptxt.split()) + 1   # +1: the \x00 separator
+            r, a = oracle_acceptance(toks[plen:], 4, prompt=toks[:plen])
+            rounds += r
+            accepted += a
+        acc_seeded[name] = accepted / rounds
+        print(f"  {name:12s}: {accepted / rounds:.2f} accepted/round "
+              f"({rounds} rounds)", flush=True)
 
     if not args.tpu:
         return

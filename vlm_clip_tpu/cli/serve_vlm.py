@@ -327,10 +327,14 @@ def main(argv=None) -> None:
                         "outgrows one chip's HBM); composes with --tp "
                         "on a (data, model) mesh")
     p.add_argument("--spec-k", type=int, default=0,
-                   help="n-gram speculative decoding (lossless: "
-                        "token-identical under greedy, distribution-"
-                        "identical under sampled configs incl. the "
-                        "checkpoint default)")
+                   help="n-gram speculative decoding over the prompt+"
+                        "history window (lossless: token-identical "
+                        "under greedy, distribution-identical under "
+                        "sampled configs incl. the checkpoint "
+                        "default). Turn ON for re-description/"
+                        "refinement loads — 3.35 accepted/round "
+                        "measured, 2-4x decode tok/s (BENCH.md r5); "
+                        "leave off for instruction-only loads")
     args = p.parse_args(argv)
 
     bits = args.bits if args.bits in ("mixed", "8h4") else int(args.bits)

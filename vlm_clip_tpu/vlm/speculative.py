@@ -4,14 +4,16 @@ TPU decode at serving batch sizes is weight-streaming-bound: one
 forward over T=K+1 positions per row streams the same ~3 GB of
 quantized weights as T=1, so every draft token the model agrees with
 is nearly free throughput. The draft source is the cheapest one that
-needs no second model: the row's OWN generated text — the most recent
-previous occurrence of the row's trailing n-gram, continued for K
-tokens (vLLM's "prompt lookup"/ngram speculator). Descriptive VLM
-context generations (the reference's workload, model_v.py:108-118)
-repeat phrases ("the person's expression ...") often enough for this
-to pay; when it doesn't match, the fallback draft repeats the last
-token, and a wrong draft costs only the already-amortized verify
-positions.
+needs no second model: the row's prompt + its OWN generated text as
+one concatenated window — the most recent previous occurrence of the
+row's trailing n-gram anywhere in that window, continued for K tokens
+(vLLM's "prompt lookup"/ngram speculator; the engine seeds the window
+with the prompt at install, so re-description/OCR-style loads draft
+from prompt phrases before the output ever repeats itself).
+Descriptive VLM context generations (the reference's workload,
+model_v.py:108-118) reuse phrases often enough for this to pay; when
+it doesn't match, the fallback draft repeats the last token, and a
+wrong draft costs only the already-amortized verify positions.
 
 Exactness, both decode modes (`verify_round`):
 
@@ -48,14 +50,15 @@ from .sampling import NEG_INF, SamplingConfig, warp_logits
 
 def ngram_draft(hist: jnp.ndarray, gen_count: jnp.ndarray, k: int,
                 n: int = 2) -> jnp.ndarray:
-    """Per-row K-token draft from the row's own generated history.
+    """Per-row K-token draft from the row's token window.
 
-    hist [B, H] int32 — generated tokens, row b valid at cols
+    hist [B, H] int32 — the row's window (the engine seeds it with the
+    prompt, then appends generated tokens), row b valid at cols
     ``< gen_count[b]`` (cols beyond hold stale garbage; they are never
     selected as a match and only enter a draft via the overlap tail,
     where acceptance filters them).
-    gen_count [B] int32 — tokens generated so far (incl. the one the
-    trailing n-gram ends on).
+    gen_count [B] int32 — valid tokens in the window (incl. the one
+    the trailing n-gram ends on).
 
     Returns draft [B, k] int32. Strategy: find the LATEST j such that
     ``hist[j:j+n] == hist[g-n:g]`` with the window ending strictly
