@@ -123,3 +123,63 @@ def test_is_primary_pod_autodetect_without_identity_raises(monkeypatch):
     # with an identity env var the same metadata is fine
     monkeypatch.setenv("TPU_WORKER_ID", "1")
     assert D.is_primary() is False
+
+
+def test_two_process_dp_engine_token_parity(tmp_path):
+    """The DP=2 continuous-batching engine across TWO REAL PROCESSES
+    (VERDICT r4 #4/#5): slot state and KV shard across process
+    boundaries, install scatters cross replicas, harvests all-gather
+    the slot shards (engine._fetch) — and every request's tokens equal
+    a single-process engine run on the same weights and inputs."""
+    port = _free_port()
+    outs = [str(tmp_path / f"eng{i}.json") for i in range(2)]
+    procs = []
+    for i in range(2):
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(_WORKER), "_engine_worker.py"),
+             outs[i]],
+            env=env, cwd=os.path.dirname(os.path.dirname(_WORKER)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("2-process engine worker timed out")
+        logs.append(out)
+    for p, log_text in zip(procs, logs):
+        assert p.returncode == 0, log_text[-4000:]
+
+    results = [json.load(open(o)) for o in outs]
+    # both processes observed the same global token streams
+    assert results[0]["tokens"] == results[1]["tokens"]
+
+    # single-process reference engine on identical weights/inputs
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(_WORKER))
+    from test_engine import _requests, tiny_cfgs
+    from vlm_clip_tpu.vlm import qwen_model as QM
+    from vlm_clip_tpu.vlm.engine import ContinuousBatchingEngine
+    from vlm_clip_tpu.vlm.qwen import QwenVLGenerator
+
+    cfg = tiny_cfgs()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = {"text": QM.init_text(k1, cfg.text),
+              "vision": QM.init_vision(k2, cfg.vision)}
+    ids, visions = _requests(cfg, 4, seed=51)
+    budgets = [5, 3, 6, 4]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=3,
+                                   refill_chunks=(2, 1))
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    want = eng.flush()
+    assert results[0]["tokens"] == [want[r] for r in rids]

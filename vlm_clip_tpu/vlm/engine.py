@@ -607,7 +607,7 @@ class ContinuousBatchingEngine:
         if self.profile:
             # block_until_ready is a no-op through the axon tunnel; a
             # value fetch really syncs
-            np.asarray(self.tokens)
+            self._fetch(self.tokens)
             self.stats["install_s"] += time.perf_counter() - t0
             self.stats["installs"] += len(group)
         for p, s in zip(group, slots):
@@ -675,7 +675,7 @@ class ContinuousBatchingEngine:
                     eos=self.cfg.eos_token_id, dtype=self.gen.dtype)
 
         if self.profile:
-            np.asarray(buf)  # value fetch = real sync (axon tunnel)
+            self._fetch(buf)  # value fetch = real sync (axon tunnel)
             self.stats["steps_s"] += time.perf_counter() - t0
             self.stats["steps"] += k
         # snapshot: the chunk's output handles + the slot assignment and
@@ -689,17 +689,31 @@ class ContinuousBatchingEngine:
             "slot_req": list(self._slot_req), "k": k,
         }
 
+    def _fetch(self, t):
+        """Host value of a possibly slot-sharded device array. Under
+        multi-PROCESS DP the slot shards live on different hosts, so a
+        direct np.asarray raises (not fully addressable): reshard to
+        replicated first — one on-device all-gather over 'data', the
+        same bytes every host needs anyway. Single-process arrays
+        (even multi-device sharded ones) fetch directly."""
+        if getattr(t, "is_fully_addressable", True):
+            return np.asarray(t)
+        from jax.sharding import NamedSharding, PartitionSpec
+        return np.asarray(jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(self.mesh, PartitionSpec()))(t))
+
     def _harvest(self):
         """Fetch the pending chunk's results and record/finish rows.
         The ONE host sync; under pipelined dispatch it overlaps the
         next chunk's device execution."""
         pend, self._pend = self._pend, None
         t0 = time.perf_counter() if self.profile else 0.0
-        buf_h = np.asarray(pend["buf"])
-        lengths_h = np.asarray(pend["lengths"])
-        done_h = np.asarray(pend["done"])
-        remaining_h = np.asarray(pend["remaining"])
-        tokens_h = np.asarray(pend["tokens"])
+        buf_h = self._fetch(pend["buf"])
+        lengths_h = self._fetch(pend["lengths"])
+        done_h = self._fetch(pend["done"])
+        remaining_h = self._fetch(pend["remaining"])
+        tokens_h = self._fetch(pend["tokens"])
         stop_h = np.isin(tokens_h, np.asarray(self._stops))
 
         if self.profile:
