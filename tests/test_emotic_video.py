@@ -322,3 +322,34 @@ def test_train_emotic_cli_end_to_end(tmp_path, monkeypatch):
     head = load_emotic_head(str(out))
     assert set(head) == {"visual", "vad"}
     assert head["vad"]["kernel"].shape == (cfg.projection_dim, 3)
+
+
+def test_video_raw_frame_scorer_matches_host_resize_path():
+    """score_video_frames_raw (config-4 chip path: native-res uint8 in,
+    fused on-device resize/normalize/score) — shape + probability
+    contract on non-square native frames, and equality with
+    score_video_frames when the input is already at target size (the
+    shortest-edge resize is then an identity)."""
+    from vlm_clip_tpu.data.video import (score_video_frames,
+                                         score_video_frames_raw)
+
+    cfg = tiny_clip_config()
+    size = cfg.vision.image_size
+    params = init_clip(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(7)
+    class_emb = rng.normal(size=(7, cfg.projection_dim))
+    class_emb /= np.linalg.norm(class_emb, axis=-1, keepdims=True)
+
+    native = rng.integers(0, 255, (6, 48, 64, 3), dtype=np.uint8)
+    probs = score_video_frames_raw(params, cfg, native, class_emb,
+                                   policy=FP32, stats="imagenet",
+                                   size=size)
+    assert probs.shape == (6, 7)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+    exact = rng.integers(0, 255, (6, size, size, 3), dtype=np.uint8)
+    got = score_video_frames_raw(params, cfg, exact, class_emb,
+                                 policy=FP32, stats="clip", size=size)
+    ref = score_video_frames(params, cfg, exact, class_emb, policy=FP32,
+                             stats="clip")
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

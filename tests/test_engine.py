@@ -482,3 +482,35 @@ def test_engine_adaptive_speculative(fixture):
     got = eng.flush()
     for rid, w in zip(rids, want):
         assert got[rid] == w
+
+
+def test_engine_progress_streaming_visibility(fixture):
+    """progress() exposes per-live-request harvested token counts (the
+    TTFT probe of the streaming-arrival bench, cli/bench_engine.py
+    --arrivals): counts are monotone per request, never exceed the final
+    output, and finished requests drop out of the map."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 4, seed=57)
+    budgets = [6, 3, 7, 4]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   refill_chunks=(2, 1))
+    assert eng.progress() == {}  # nothing installed
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    last = {}
+    saw_partial = False
+    finished = {}
+    while eng.pending:
+        finished.update(eng.poll())
+        prog = eng.progress()
+        for rid, cnt in prog.items():
+            assert rid in rids and rid not in finished
+            assert cnt >= last.get(rid, 0)  # monotone
+            last[rid] = cnt
+            saw_partial |= 0 < cnt < budgets[rids.index(rid)]
+    assert eng.progress() == {}  # drained
+    assert sorted(finished) == sorted(rids)
+    assert saw_partial  # sync_steps < budget => mid-flight visibility
+    for rid, cnt in last.items():
+        assert cnt <= len(finished[rid])

@@ -240,3 +240,57 @@ def test_trainer_m_device_prefetch(tmp_path, setup):
         return tr.train(num_epochs=1)[0]["train_loss"]
 
     np.testing.assert_allclose(run(0), run(2), atol=1e-6)
+
+
+def test_rafdb_captions_jsonl_routing(tmp_path):
+    """RAFDBDataset(captions_jsonl=...) (BASELINE config 5 data path):
+    images listed in a cli/gen_label.py jsonl train against their
+    LLM-generated caption; null-caption records and unlisted images
+    fall back to the prompt-bank draw; create_dataloaders threads the
+    file through."""
+    import json
+
+    from PIL import Image
+
+    from vlm_clip_tpu.core.config import EMOTIONS
+    from vlm_clip_tpu.data.captions import get_emotion_descriptions
+    from vlm_clip_tpu.data.rafdb import RAFDBDataset, create_dataloaders
+    from vlm_clip_tpu.data.tokenizer import HashTokenizer
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val", "test"):
+        for emo in EMOTIONS[:2]:
+            d = tmp_path / split / emo
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray(rng.integers(
+                    0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                        d / f"{i}.jpg")
+
+    ds0 = RAFDBDataset(str(tmp_path), "train", HashTokenizer(1000),
+                       image_size=32)
+    jsonl = tmp_path / "labels.jsonl"
+    recs = []
+    for j, (path, emo) in enumerate(ds0.samples):
+        cap = f"a generated description {j}" if j % 2 == 0 else None
+        recs.append({"path": path, "emotion": emo, "caption": cap})
+    jsonl.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+
+    ds = RAFDBDataset(str(tmp_path), "train", HashTokenizer(1000),
+                      image_size=32, captions_jsonl=str(jsonl))
+    bank = {c for caps in get_emotion_descriptions().values()
+            for c in caps}
+    for j in range(len(ds)):
+        item = ds[j]
+        if j % 2 == 0:
+            assert item["caption"] == f"a generated description {j}"
+        else:
+            assert item["caption"] in bank  # fallback draw
+        assert item["input_ids"].shape == (77,)
+
+    loaders = create_dataloaders(str(tmp_path), HashTokenizer(1000),
+                                 batch_size=4, image_size=32,
+                                 captions_jsonl=str(jsonl))
+    batch = next(iter(loaders["train"]))
+    assert any(c.startswith("a generated description")
+               for c in batch.captions)

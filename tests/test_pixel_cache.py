@@ -114,3 +114,28 @@ def test_resize_upscale_and_methods():
         y = np.asarray(resize_batch_tpu(jnp.asarray(x), 8, method=method))
         assert y.shape == (2, 8, 8, 3)
         assert np.isfinite(y).all()
+
+
+def test_resize_matmul_matches_jax_image_resize():
+    """The MXU-native separable-matmul resize (round-5 rewrite; the
+    gather-based jax.image.resize never finishes compiling on the TPU
+    backend at video shapes) must match jax.image.resize numerically —
+    same kernel, sampling convention and edge renormalization — for
+    down- and upscale, both methods, antialias on/off."""
+    from vlm_clip_tpu.ops.image import resize_batch_tpu
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, (2, 48, 64, 3), np.uint8)
+    xj = jnp.asarray(x)
+    for out_hw in ((22, 30), (96, 100)):
+        for method in ("bilinear", "bicubic"):
+            for aa in (True, False):
+                got = np.asarray(resize_batch_tpu(xj, out_hw, method,
+                                                  antialias=aa))
+                want = np.asarray(jax.image.resize(
+                    xj.astype(jnp.float32),
+                    (2, out_hw[0], out_hw[1], 3), method=method,
+                    antialias=aa))
+                np.testing.assert_allclose(
+                    got, want, atol=2e-3, rtol=1e-4,
+                    err_msg=f"{out_hw} {method} aa={aa}")

@@ -12,8 +12,20 @@ bench quantifies that on 3B-shape weights:
 - ``--workload mixed``: budgets drawn uniformly from [lo, hi] — the
   static path must decode every batch to its max budget, the engine
   reclaims each slot the step its request finishes.
+- ``--arrivals``: open-loop STREAMING load (Poisson arrivals) instead of
+  the queue-everything-at-t0 drain — the regime continuous batching
+  exists for. Requests arrive at rate λ req/s; the engine installs each
+  into the next free slot (slots partially busy, adaptive chunking vs
+  arrival jitter), the static baseline batches whatever has arrived
+  when its previous fixed batch finishes (the reference's one
+  ``generate()``-at-a-time pattern, model_v.py:108-118). Reports tok/s,
+  TTFT p50/p95 and completion-latency p50/p95 per rate. Rates are a
+  comma list (``--arrivals 20,35,50``) or ``auto`` = {0.5, 0.75, 0.95}×
+  the engine's measured drain saturation.
 
     python -m vlm_clip_tpu.cli.bench_engine --slots 64 --requests 256
+    python -m vlm_clip_tpu.cli.bench_engine --slots 64 --requests 192 \
+        --arrivals auto
 """
 
 from __future__ import annotations
@@ -53,6 +65,10 @@ def main(argv=None):
                    help="disable pipelined chunk dispatch (chunk N "
                         "dispatched before chunk N-1's harvest) for "
                         "the A/B against the synchronous round-3 loop")
+    p.add_argument("--arrivals", default=None,
+                   help="streaming mode: comma list of Poisson arrival "
+                        "rates (req/s) or 'auto' (see module docstring)")
+    p.add_argument("--arrival-seed", type=int, default=1)
     p.add_argument("--spec-k", type=int, default=0,
                    help="n-gram speculative decoding: verify K drafts "
                         "per forward (greedy-exact; random synth "
@@ -154,7 +170,7 @@ def main(argv=None):
           f"p95 {lat[int(len(lat) * 0.95)]:.1f}s (queue-at-t0 model)",
           flush=True)
 
-    if args.skip_static:
+    if args.skip_static and not args.arrivals:
         return
 
     # --- static batches ------------------------------------------------------
@@ -179,23 +195,124 @@ def main(argv=None):
         static_run.latencies = sorted(lats)
         return out
 
-    print("static: compiling ...", flush=True)
-    t0 = time.perf_counter()
-    out = static_run()
-    print(f"static first run (compile): {time.perf_counter() - t0:.1f}s",
-          flush=True)
-    t0 = time.perf_counter()
-    out = static_run()
-    dt_s = time.perf_counter() - t0
-    s_tokens = sum(len(t) for t in out)
-    slat = static_run.latencies
-    print(f"static request latency p50 {slat[len(slat) // 2]:.1f}s "
-          f"p95 {slat[int(len(slat) * 0.95)]:.1f}s (queue-at-t0 model)",
-          flush=True)
-    print(f"static: {dt_s:.2f} s, {s_tokens} tokens -> "
-          f"{s_tokens / dt_s:.0f} tok/s, "
-          f"{n / dt_s * 3600:.0f} requests/hour", flush=True)
-    print(f"engine speedup: {dt_s / dt_e:.2f}x")
+    if not args.skip_static:
+        print("static: compiling ...", flush=True)
+        t0 = time.perf_counter()
+        out = static_run()
+        print(f"static first run (compile): {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        out = static_run()
+        dt_s = time.perf_counter() - t0
+        s_tokens = sum(len(t) for t in out)
+        slat = static_run.latencies
+        print(f"static request latency p50 {slat[len(slat) // 2]:.1f}s "
+              f"p95 {slat[int(len(slat) * 0.95)]:.1f}s (queue-at-t0 model)",
+              flush=True)
+        print(f"static: {dt_s:.2f} s, {s_tokens} tokens -> "
+              f"{s_tokens / dt_s:.0f} tok/s, "
+              f"{n / dt_s * 3600:.0f} requests/hour", flush=True)
+        print(f"engine speedup: {dt_s / dt_e:.2f}x", flush=True)
+
+    if not args.arrivals:
+        return
+
+    # --- streaming (Poisson) arrivals --------------------------------------
+    # Open-loop load at rate λ: the schedule is fixed up front (exponential
+    # inter-arrivals) and shared by engine and static so both serve the
+    # SAME trace. Engine TTFT = arrival -> first harvested token
+    # (engine.progress(); resolution = one decode chunk). The static
+    # baseline is the reference's fixed-batch pattern: one generate() at a
+    # time over whatever has arrived (padded to a full `slots` batch for
+    # one compiled shape), so a request's first token is only observable
+    # at batch completion — TTFT == completion by construction, which IS
+    # the point being measured.
+    sat = n / dt_e  # engine drain saturation (req/s) — compiles are warm
+    rates = ([sat * f for f in (0.5, 0.75, 0.95)]
+             if args.arrivals == "auto"
+             else [float(r) for r in args.arrivals.split(",")])
+
+    def pctl(xs, q):
+        return xs[min(len(xs) - 1, int(len(xs) * q))]
+
+    def engine_stream(arrivals):
+        eng = ContinuousBatchingEngine(
+            gen, n_slots=args.slots, sync_steps=args.sync_steps,
+            refill_chunks=chunks, spec_k=args.spec_k,
+            pipeline=not args.no_pipeline, adaptive=not args.no_adaptive,
+            chunk_max=args.chunk_max)
+        rid2i, ttft, comp = {}, {}, {}
+        tokens = 0
+        nxt = 0
+        t0 = time.perf_counter()
+        while len(comp) < n:
+            now = time.perf_counter() - t0
+            while nxt < n and arrivals[nxt] <= now:
+                rid = eng.submit(ids, vins[nxt],
+                                 max_new_tokens=budgets[nxt])
+                rid2i[rid] = nxt
+                nxt += 1
+            if not eng.pending:
+                time.sleep(max(0.0, arrivals[nxt]
+                               - (time.perf_counter() - t0)))
+                continue
+            fin = eng.poll()
+            now = time.perf_counter() - t0
+            for rid, cnt in eng.progress().items():
+                if cnt and rid not in ttft:
+                    ttft[rid] = now - arrivals[rid2i[rid]]
+            for rid, toks in fin.items():
+                comp[rid] = now - arrivals[rid2i[rid]]
+                ttft.setdefault(rid, comp[rid])
+                tokens += len(toks)
+        mk = time.perf_counter() - t0
+        return mk, tokens, sorted(ttft.values()), sorted(comp.values())
+
+    def static_stream(arrivals):
+        backlog, comp = [], {}
+        tokens = 0
+        nxt = 0
+        t0 = time.perf_counter()
+        while len(comp) < n:
+            now = time.perf_counter() - t0
+            while nxt < n and arrivals[nxt] <= now:
+                backlog.append(nxt)
+                nxt += 1
+            if not backlog:
+                time.sleep(max(0.0, arrivals[nxt]
+                               - (time.perf_counter() - t0)))
+                continue
+            batch = backlog[:args.slots]
+            del backlog[:len(batch)]
+            pad = batch + [batch[-1]] * (args.slots - len(batch))
+            cap = max(budgets[j] for j in batch)
+            toks = gen.generate_batch_from_ids(
+                ids, [vins[j] for j in pad], max_new_tokens=cap,
+                prefill_chunk=32 if len(pad) > 32 else None)
+            now = time.perf_counter() - t0
+            for row, j in zip(toks[:len(batch)], batch):
+                tokens += len(row[:budgets[j]])
+                comp[j] = now - arrivals[j]
+        mk = time.perf_counter() - t0
+        return mk, tokens, sorted(comp.values())
+
+    arr_rng = np.random.default_rng(args.arrival_seed)
+    print(f"\nstreaming arrivals (Poisson, seed {args.arrival_seed}); "
+          f"engine drain saturation {sat:.1f} req/s", flush=True)
+    for rate in rates:
+        arrivals = np.cumsum(arr_rng.exponential(1.0 / rate, n))
+        mk, tok, tf, cp = engine_stream(arrivals)
+        print(f"  engine λ={rate:5.1f}/s: makespan {mk:6.1f}s "
+              f"{tok / mk:6.0f} tok/s  TTFT p50 {pctl(tf, .5):6.2f}s "
+              f"p95 {pctl(tf, .95):6.2f}s  completion "
+              f"p50 {pctl(cp, .5):6.2f}s p95 {pctl(cp, .95):6.2f}s",
+              flush=True)
+        if not args.skip_static:
+            mk, tok, cp = static_stream(arrivals)
+            print(f"  static λ={rate:5.1f}/s: makespan {mk:6.1f}s "
+                  f"{tok / mk:6.0f} tok/s  TTFT == completion "
+                  f"p50 {pctl(cp, .5):6.2f}s p95 {pctl(cp, .95):6.2f}s",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "full fine-tune recipe")
     p.add_argument("--image-size", type=int, default=None,
                    help="defaults to the model config image size")
+    p.add_argument("--captions", default=None,
+                   help="cli/gen_label.py jsonl of LLM-augmented captions "
+                        "({path, emotion, caption}); images present in it "
+                        "train against their generated caption instead of "
+                        "a prompt-bank draw (BASELINE config 5)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--zero1", action="store_true",
                    help="shard the Adam moments over all devices "
@@ -81,7 +86,8 @@ def main(argv=None) -> None:
                          shared_adapter_layers=args.shared_adapter_layers)
     loaders = create_dataloaders(args.data_root, tokenizer,
                                  batch_size=args.batch_size,
-                                 image_size=image_size)
+                                 image_size=image_size,
+                                 captions_jsonl=args.captions)
     trainer = CLIPAdapterTrainer(
         clip_params, cfg, acfg, loaders["train"],
         val_dataloader=loaders.get("val"),

@@ -126,11 +126,19 @@ class FolderDataset(_PixelCacheMixin):
 
 
 class RAFDBDataset(_PixelCacheMixin):
-    """M-style: root/{split}/{emotion}/ scan with random caption per item."""
+    """M-style: root/{split}/{emotion}/ scan with random caption per item.
+
+    ``captions_jsonl``: path to a ``cli/gen_label.py`` output file
+    ({path, emotion, caption} records) — images present in it train
+    against their LLM-generated caption instead of a random prompt-bank
+    draw (BASELINE config 5, "adapter fine-tune with LLM-augmented
+    labels"); images without a caption (``caption: null`` fallback
+    records, or simply absent) keep the bank draw.
+    """
 
     def __init__(self, root_dir: str, split: str, tokenizer,
                  max_length: int = CLIP_MAX_TEXT_LEN, image_size: int = 224,
-                 seed: int = 42):
+                 seed: int = 42, captions_jsonl: Optional[str] = None):
         split_dir = Path(root_dir) / split
         if not split_dir.exists():
             raise ValueError(f"Split directory {split_dir} does not exist")
@@ -143,14 +151,31 @@ class RAFDBDataset(_PixelCacheMixin):
         self.image_size = image_size
         self.descriptions = get_emotion_descriptions()
         self._rng = np.random.default_rng(seed)
+        self.captions: Dict[str, str] = {}
+        if captions_jsonl:
+            import json
+
+            with open(captions_jsonl) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("caption"):
+                        self.captions[str(Path(rec["path"]).resolve())] \
+                            = rec["caption"]
+
+    def _caption_for(self, path: str, emotion: str) -> str:
+        cap = self.captions.get(str(Path(path).resolve())) \
+            if self.captions else None
+        if cap is not None:
+            return cap
+        return self.descriptions[emotion][
+            self._rng.integers(len(self.descriptions[emotion]))]
 
     def __len__(self) -> int:
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Dict:
         path, emotion = self.samples[idx]
-        caption = self.descriptions[emotion][
-            self._rng.integers(len(self.descriptions[emotion]))]
+        caption = self._caption_for(path, emotion)
         ids, mask = self.tokenizer([caption], max_length=self.max_length)
         return {
             "pixel_values": self._load_pixels(idx, path),
@@ -169,9 +194,8 @@ class RAFDBDataset(_PixelCacheMixin):
         captions = []
         labels = np.empty((len(idxs),), np.int32)
         for j, i in enumerate(idxs):
-            emotion = self.samples[i][1]
-            bank = self.descriptions[emotion]
-            captions.append(bank[self._rng.integers(len(bank))])
+            path, emotion = self.samples[i]
+            captions.append(self._caption_for(path, emotion))
             labels[j] = EMOTIONS.index(emotion)
         ids, mask = self.tokenizer(captions, max_length=self.max_length)
         return Batch(images=self.pixel_cache.get_batch(idxs),
@@ -370,12 +394,16 @@ class BatchLoader:
 
 def create_dataloaders(root_dir: str, tokenizer, batch_size: int = 32,
                        num_workers: int = 4, image_size: int = 224,
+                       captions_jsonl: Optional[str] = None,
                        ) -> Dict[str, BatchLoader]:
-    """train/val/test loaders, shuffle train only (dataset.py:173-207)."""
+    """train/val/test loaders, shuffle train only (dataset.py:173-207).
+    ``captions_jsonl`` routes LLM-augmented captions (cli/gen_label.py)
+    into every split's dataset (config 5); see RAFDBDataset."""
     del num_workers  # prefetch thread model; kept for signature parity
     loaders = {}
     for split in ("train", "val", "test"):
-        ds = RAFDBDataset(root_dir, split, tokenizer, image_size=image_size)
+        ds = RAFDBDataset(root_dir, split, tokenizer, image_size=image_size,
+                          captions_jsonl=captions_jsonl)
         loaders[split] = BatchLoader(
             ds, batch_size, shuffle=(split == "train"),
             drop_last=(split == "train"))

@@ -91,6 +91,59 @@ def score_video_frames(clip_params, cfg, frames_u8: np.ndarray,
 
 
 @functools.lru_cache(maxsize=8)
+def _raw_frame_scorer(cfg, policy, stats: str, size: int):
+    """Cached jitted config-4 chip program: NATIVE-resolution uint8
+    frames -> per-frame class probabilities, with shortest-edge resize +
+    center crop + normalize + tower + softmax fused into ONE XLA program
+    (ops/image.resize_normalize_tpu). The host's only job is demux."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_clip_tpu.models import clip as C
+    from vlm_clip_tpu.models import layers as L
+    from vlm_clip_tpu.ops.image import resize_normalize_tpu
+
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if stats == "imagenet" \
+        else (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+
+    @jax.jit
+    def run(params, u8, emb):
+        px = resize_normalize_tpu(u8, size, mean, std,
+                                  dtype=policy.compute_dtype)
+        feats = C.get_image_features(params, px, cfg, policy)
+        feats = L.l2_normalize(feats).astype(jnp.float32)
+        sims = 100.0 * jnp.dot(feats, emb.T,
+                               preferred_element_type=jnp.float32)
+        return jax.nn.softmax(sims, axis=-1)
+
+    return run
+
+
+def score_video_frames_raw(clip_params, cfg, frames_u8: np.ndarray,
+                           class_emb, policy=None,
+                           stats: str = "imagenet",
+                           size: int = 224) -> np.ndarray:
+    """Config-4 TPU-first path: demuxed frames at NATIVE resolution
+    (uint8 [T, H, W, 3]) -> per-frame probabilities [T, C_classes].
+
+    The reference resizes + normalizes every frame on the host
+    (process_video.py:21-26, cv2 resize + ImageNet stats — the stats
+    quirk is reproduced by the ``stats='imagenet'`` default) before a
+    per-frame eager forward. Here the raw frames ship to the device
+    once and resize/normalize/score run as one fused jit
+    (:func:`_raw_frame_scorer`); measured end-to-end in
+    cli/bench_video.py (BENCH.md round 5, BASELINE config 4).
+    """
+    import jax.numpy as jnp
+
+    from vlm_clip_tpu.core.dtypes import BF16
+
+    run = _raw_frame_scorer(cfg, policy or BF16, stats, size)
+    return np.asarray(run(clip_params, jnp.asarray(frames_u8),
+                          jnp.asarray(class_emb)))
+
+
+@functools.lru_cache(maxsize=8)
 def _sharded_frame_scorer(cfg, policy, stats: str):
     """Cached jitted scorer: a fresh @jax.jit closure per call would
     retrace (and recompile the whole tower) on EVERY invocation — jit

@@ -514,6 +514,17 @@ class ContinuousBatchingEngine:
             results.update(self.poll())
         return results
 
+    def progress(self) -> Dict[int, int]:
+        """Tokens harvested so far per LIVE (installed, unfinished)
+        request — zero host syncs (reads the host-side token shadows, so
+        the count lags device state by at most the pipelined chunk).
+        Finished requests are returned by poll(), not here. Queued
+        requests don't appear. Serving-side uses: streaming TTFT
+        measurement (cli/bench_engine.py --arrival-rate) and
+        progress/heartbeat endpoints."""
+        return {rid: len(self._slot_toks[s])
+                for s, rid in enumerate(self._slot_req) if rid is not None}
+
     # ------------------------------------------------------------------
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
