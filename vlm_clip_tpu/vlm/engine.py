@@ -357,6 +357,14 @@ class ContinuousBatchingEngine:
         # Without a 'data' axis (or D == 1) slot state is replicated —
         # the pure-TP mode. Token parity with the single-device engine:
         # tests/test_engine.py (TP=2, DP=2, DP×TP=2×2).
+        #
+        # Deliberately NOT supported: a ('pipe', 'model') mesh. TP×DP
+        # covers the whole reference model family by HBM arithmetic
+        # (72B int8 = 9 GB/chip at TP=8, inside one ICI domain), while
+        # a continuous-batching token ring would turn every refill into
+        # a full-ring re-prefill and pay an S-hop latency per token —
+        # the measured decision lives in BENCH.md round 5; PP×TP stays
+        # on the batch/training paths (parallel/pipeline.py).
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
