@@ -146,3 +146,33 @@ def test_bad_image_400(server):
 def test_build_engine_refuses_without_weights():
     with pytest.raises(SystemExit, match="refusing"):
         build_engine(None, allow_synth=False)
+
+
+def test_streaming_generate(server):
+    """``stream=1`` SSE: token-delta events per harvested decode chunk,
+    then a terminal done event; concatenated deltas == the done event's
+    tokens == the one-shot generate (streaming changes framing, never
+    content). The sync_steps=3 engine must emit the 7-token budget in
+    >= 2 delta events (mid-flight visibility, not one blob at the end)."""
+    from PIL import Image
+
+    srv, gen, prep_fn = server
+    body = _jpeg(3)
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                      timeout=300)
+    conn.request("POST", "/generate?max_new=7&stream=1", body=body)
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+    raw = r.read().decode()  # Connection: close framing -> read to EOF
+    conn.close()
+    events = [json.loads(line[len("data: "):])
+              for line in raw.splitlines() if line.startswith("data: ")]
+    assert events and events[-1].get("done") is True
+    deltas = [e["tokens"] for e in events[:-1]]
+    assert len(deltas) >= 2, deltas
+    got = [t for d in deltas for t in d]
+    assert got == events[-1]["tokens"]
+    ids, vin = prep_fn(Image.open(io.BytesIO(body)), None)
+    want = gen.generate_from_ids(ids, vin, max_new_tokens=7)
+    assert got == want

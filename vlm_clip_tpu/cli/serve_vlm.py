@@ -10,7 +10,13 @@ serving-side fix for the reference's fixed-batch ``generate()`` pattern
 Endpoints:
 - ``POST /generate``  raw image bytes -> JSON {tokens, text, ms}.
   Query params: ``max_new`` (default from --max-new), ``prompt``
-  (default: the reference's VLM context prompt, extractor.VLM_PROMPT).
+  (default: the reference's VLM context prompt, extractor.VLM_PROMPT),
+  ``stream=1`` -> Server-Sent Events: one ``data: {"tokens": [...]}``
+  event per harvested decode chunk (tokens are append-only and final
+  once harvested — engine.partial_tokens), then a terminal
+  ``data: {"done": true, tokens, text, ms}``. The reference cannot
+  stream at all (its ``generate()`` returns only at completion,
+  model_v.py:108-118).
 - ``GET  /healthz``   {status, slots, queued, mode}
 
 Weights: ``--weights DIR`` (safetensors + tokenizer.json, the
@@ -43,9 +49,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 class _Job:
     __slots__ = ("ids", "vision", "max_new", "event", "tokens", "error",
-                 "t_submit")
+                 "t_submit", "stream_q", "sent")
 
-    def __init__(self, ids, vision, max_new):
+    def __init__(self, ids, vision, max_new, stream: bool = False):
         self.ids = ids
         self.vision = vision
         self.max_new = max_new
@@ -53,6 +59,11 @@ class _Job:
         self.tokens = None
         self.error: Optional[str] = None
         self.t_submit = time.perf_counter()
+        # streaming (SSE): the worker pushes token-delta lists here as
+        # decode chunks harvest, then a None sentinel at completion
+        self.stream_q: "Optional[queue.Queue]" = \
+            queue.Queue() if stream else None
+        self.sent = 0  # tokens already pushed to stream_q
 
 
 class EngineWorker:
@@ -89,10 +100,13 @@ class EngineWorker:
             except queue.Empty:
                 return
             try:
-                rid = self.engine.submit(job.ids, job.vision,
-                                         max_new_tokens=job.max_new)
+                rid = self.engine.submit(
+                    job.ids, job.vision, max_new_tokens=job.max_new,
+                    stream=job.stream_q is not None)
             except Exception as e:  # noqa: BLE001 — surface to client
                 job.error = str(e)
+                if job.stream_q is not None:
+                    job.stream_q.put(None)
                 job.event.set()
                 continue
             self._by_rid[rid] = job
@@ -108,12 +122,27 @@ class EngineWorker:
                     continue
                 self.q.put(job)
                 continue
-            for rid, toks in self.engine.poll().items():
+            fin = self.engine.poll()
+            # stream deltas for still-live streaming jobs: harvested
+            # tokens are append-only and final (engine.partial_tokens)
+            for rid, job in self._by_rid.items():
+                if job.stream_q is None or rid in fin:
+                    continue
+                toks = self.engine.partial_tokens(rid)
+                if toks is not None and len(toks) > job.sent:
+                    job.stream_q.put(toks[job.sent:])
+                    job.sent = len(toks)
+            for rid, toks in fin.items():
                 job = self._by_rid.pop(rid, None)
                 if job is None:
                     continue
                 job.tokens = toks
                 self.total_tokens += len(toks)
+                if job.stream_q is not None:
+                    if len(toks) > job.sent:
+                        job.stream_q.put(toks[job.sent:])
+                        job.sent = len(toks)
+                    job.stream_q.put(None)
                 job.event.set()
 
 
@@ -158,9 +187,15 @@ def make_vlm_handler(worker: EngineWorker, prep_fn, tokenizer,
                 return self._json(400, {"error": f"bad image: {e}"})
             max_new = int(qs.get("max_new", [default_max_new])[0])
             prompt = qs.get("prompt", [None])[0]
+            stream = qs.get("stream", ["0"])[0] not in ("0", "", "false")
             t0 = time.perf_counter()
             try:
                 ids, vision = prep_fn(img, prompt)
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+            if stream:
+                return self._stream(ids, vision, max_new, t0)
+            try:
                 toks = worker.submit(_Job(ids, vision, max_new))
             except Exception as e:  # noqa: BLE001
                 return self._json(500, {"error": str(e)})
@@ -169,6 +204,40 @@ def make_vlm_handler(worker: EngineWorker, prep_fn, tokenizer,
             return self._json(200, {
                 "tokens": toks, "text": text,
                 "ms": round((time.perf_counter() - t0) * 1e3, 1)})
+
+        def _stream(self, ids, vision, max_new, t0) -> None:
+            """SSE: token deltas per harvested chunk, then a terminal
+            done event. ``Connection: close`` framing (client reads to
+            EOF) — no chunked encoding needed."""
+            job = _Job(ids, vision, max_new, stream=True)
+            worker.q.put(job)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def emit(payload: dict) -> None:
+                self.wfile.write(
+                    b"data: " + json.dumps(payload).encode() + b"\n\n")
+                self.wfile.flush()
+
+            while True:
+                try:
+                    delta = job.stream_q.get(timeout=300)
+                except queue.Empty:
+                    emit({"done": True, "error": "generation timed out"})
+                    return
+                if delta is None:
+                    break
+                emit({"tokens": delta})
+            if job.error:
+                emit({"done": True, "error": job.error})
+                return
+            text = (tokenizer.decode(job.tokens).strip()
+                    if tokenizer is not None else None)
+            emit({"done": True, "tokens": job.tokens, "text": text,
+                  "ms": round((time.perf_counter() - t0) * 1e3, 1)})
 
     return Handler
 

@@ -280,14 +280,16 @@ def _engine_place(cache, sub_cache, logits0, slots, tokens, pos, lengths,
 
 class _Pending:
     __slots__ = ("req_id", "ids", "vision", "max_new", "pad_text_to",
-                 "group_key")
+                 "group_key", "stream")
 
-    def __init__(self, req_id, ids, vision, max_new, pad_text_to):
+    def __init__(self, req_id, ids, vision, max_new, pad_text_to,
+                 stream=False):
         self.req_id = req_id
         self.ids = ids
         self.vision = vision
         self.max_new = max_new
         self.pad_text_to = pad_text_to
+        self.stream = stream
         # requests sharing a layout (same prompt bytes, same patch
         # shapes/grid) can share one batched vision+prefill dispatch
         self.group_key = (ids.tobytes(), vision.grid,
@@ -458,6 +460,7 @@ class ContinuousBatchingEngine:
         # --- host state ----------------------------------------------------
         self._queue: "collections.deque[_Pending]" = collections.deque()
         self._slot_req: List[Optional[int]] = [None] * n_slots
+        self._slot_stream: List[bool] = [False] * n_slots
         self._slot_toks: List[List[int]] = [[] for _ in range(n_slots)]
         self._lengths_host = np.zeros((n_slots,), np.int64)
         # host mirror of each slot's remaining budget (exact through
@@ -471,8 +474,16 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     def submit(self, ids: np.ndarray, vision: VisionInputs,
                max_new_tokens: int = 200,
-               pad_text_to: Optional[int] = None) -> int:
-        """Queue one request; returns its id (see poll()/flush())."""
+               pad_text_to: Optional[int] = None,
+               stream: bool = False) -> int:
+        """Queue one request; returns its id (see poll()/flush()).
+
+        ``stream=True`` marks the request as having a streaming consumer
+        (partial_tokens): while any streaming request is live, the
+        adaptive scheduler caps chunk length at ``sync_steps`` so tokens
+        become host-visible at chunk granularity instead of only at the
+        earliest harvest the budget math needs. Token streams are
+        unchanged (chunk boundaries never enter the math)."""
         T_p = pad_text_to or len(ids)
         if T_p + max_new_tokens > self.gen.max_len:
             raise ValueError(
@@ -482,7 +493,8 @@ class ContinuousBatchingEngine:
         rid = self._next_id
         self._next_id += 1
         self._queue.append(_Pending(rid, np.asarray(ids), vision,
-                                    max_new_tokens, pad_text_to))
+                                    max_new_tokens, pad_text_to,
+                                    stream=stream))
         return rid
 
     @property
@@ -528,10 +540,21 @@ class ContinuousBatchingEngine:
         the count lags device state by at most the pipelined chunk).
         Finished requests are returned by poll(), not here. Queued
         requests don't appear. Serving-side uses: streaming TTFT
-        measurement (cli/bench_engine.py --arrival-rate) and
+        measurement (cli/bench_engine.py --arrivals) and
         progress/heartbeat endpoints."""
         return {rid: len(self._slot_toks[s])
                 for s, rid in enumerate(self._slot_req) if rid is not None}
+
+    def partial_tokens(self, rid: int) -> Optional[List[int]]:
+        """Copy of the harvested-so-far tokens of a LIVE request, or
+        None when ``rid`` is not installed in a slot (still queued, or
+        already finished and returned by poll). Token values are final
+        once harvested — the decode chunks append only — so streaming
+        consumers (cli/serve_vlm.py ``stream=1``) can ship deltas."""
+        for s, r in enumerate(self._slot_req):
+            if r == rid:
+                return list(self._slot_toks[s])
+        return None
 
     # ------------------------------------------------------------------
     def _free_slots(self) -> List[int]:
@@ -631,6 +654,7 @@ class ContinuousBatchingEngine:
             self.stats["installs"] += len(group)
         for p, s in zip(group, slots):
             self._slot_req[s] = p.req_id
+            self._slot_stream[s] = p.stream
             self._slot_toks[s] = []
             self._lengths_host[s] = T
             self._remaining_host[s] = p.max_new
@@ -659,6 +683,10 @@ class ContinuousBatchingEngine:
         rem = [int(self._remaining_host[s]) - inflight
                for s, r in enumerate(self._slot_req) if r is not None]
         tgt = (min(rem) if self._queue else max(rem)) if rem else 0
+        if any(self._slot_stream[s]
+               for s, r in enumerate(self._slot_req) if r is not None):
+            # a streaming consumer is live: deliver at chunk granularity
+            tgt = min(tgt, self.sync_steps)
         return max(self.sync_steps, min(self.chunk_max, tgt))
 
     def _dispatch(self):
@@ -751,4 +779,5 @@ class ContinuousBatchingEngine:
             if done_h[s] or stop_h[s] or remaining_h[s] <= 0:
                 self._finished[rid] = self._slot_toks[s]
                 self._slot_req[s] = None
+                self._slot_stream[s] = False
                 self._slot_toks[s] = []
