@@ -153,6 +153,24 @@ def main(argv=None):
           f"resize/normalize/ViT-{args.model.split('-')[-1]}/softmax)",
           flush=True)
 
+    # --- device-resident (compute only, upload amortized away) ------------
+    # In this dev environment H2D rides the axon tunnel (~33 MB/s
+    # measured), which saturates long before the chip does; on-host TPU
+    # DMA is GB/s and never the bottleneck. This pass scores a resident
+    # batch repeatedly to pin the chip's own rate.
+    dev_chunk = jnp.asarray(frames[:B])
+    passes = max(1, 512 // B)
+    out = run(params, dev_chunk, emb_j)
+    float(out[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        out = run(params, dev_chunk, emb_j)
+    float(out[0, 0])
+    dt_res = time.perf_counter() - t0
+    print(f"device-resident: {passes * B} frames in {dt_res:.2f}s -> "
+          f"{passes * B / dt_res:.0f} f/s (chip compute incl. on-device "
+          f"resize; upload excluded)", flush=True)
+
     # --- end-to-end serial -------------------------------------------------
     t0 = time.perf_counter()
     frames = demux(path, args.frames)
