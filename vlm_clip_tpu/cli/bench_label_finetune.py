@@ -140,7 +140,35 @@ def main(argv=None):
               flush=True)
     best = pairs / min(h["seconds"] for h in hist[1:] or hist)
     print(f"config 5 (ViT-L/14@{size} adapter fine-tune, LLM-augmented "
-          f"labels, B={args.batch}): {best:.1f} pairs/s/chip", flush=True)
+          f"labels, B={args.batch}): {best:.1f} pairs/s/chip e2e",
+          flush=True)
+
+    # --- device-resident step rate ----------------------------------------
+    # The epochs above pay per-step H2D (uint8 batch upload) which in
+    # this dev environment rides the ~33 MB/s axon tunnel; on-host TPU
+    # DMA never binds. Time the donated jit step on a resident batch to
+    # pin the chip's own rate (comparable to the full-finetune entry in
+    # BENCH.md "Large-model capability checks").
+    import time as _t
+
+    import jax
+
+    from vlm_clip_tpu.train.trainer_m import _device_batch
+
+    db = _device_batch(next(iter(loader)))
+    db = {k: jax.device_put(v) for k, v in db.items()}
+    state = trainer.state
+    state, m = trainer._step(state, db)
+    float(m.loss)  # sync (block_until_ready is a no-op via axon)
+    n_steps = 20
+    t0 = _t.perf_counter()
+    for _ in range(n_steps):
+        state, m = trainer._step(state, db)
+    float(m.loss)
+    dt = _t.perf_counter() - t0
+    print(f"device-resident step: {dt / n_steps * 1e3:.0f} ms -> "
+          f"{n_steps * args.batch / dt:.1f} pairs/s/chip "
+          f"(H2D excluded)", flush=True)
 
 
 if __name__ == "__main__":
