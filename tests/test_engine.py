@@ -514,3 +514,24 @@ def test_engine_progress_streaming_visibility(fixture):
     assert saw_partial  # sync_steps < budget => mid-flight visibility
     for rid, cnt in last.items():
         assert cnt <= len(finished[rid])
+
+
+def test_engine_stream_flag_composes_with_spec(fixture):
+    """stream=True only touches scheduling (chunk-length cap at
+    sync_steps): tokens must be identical with and without it, both
+    vanilla and under spec_k, across refills."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 4, seed=63)
+    budgets = [6, 8, 5, 7]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    for spec_k in (0, 2):
+        outs = {}
+        for stream in (False, True):
+            eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                           refill_chunks=(2, 1),
+                                           spec_k=spec_k)
+            rids = [eng.submit(ids, v, max_new_tokens=m, stream=stream)
+                    for v, m in zip(visions, budgets)]
+            got = eng.flush()
+            outs[stream] = [got[r] for r in rids]
+        assert outs[True] == outs[False], spec_k
