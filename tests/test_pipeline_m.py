@@ -1,5 +1,6 @@
 """Pipeline-M tests: forward contract, trainer policies, checkpoints."""
 
+import json
 import os
 
 import numpy as np
@@ -294,3 +295,47 @@ def test_rafdb_captions_jsonl_routing(tmp_path):
     batch = next(iter(loaders["train"]))
     assert any(c.startswith("a generated description")
                for c in batch.captions)
+
+
+def test_gen_label_cli_end_to_end(tmp_path):
+    """cli/gen_label.py (config 5 flow, chunked decode + batched
+    extraction): every image gets a record, stub captions are drawn
+    from the deterministic template bank, and the jsonl feeds straight
+    into RAFDBDataset(captions_jsonl=...)."""
+    from PIL import Image
+
+    from vlm_clip_tpu.cli import gen_label
+    from vlm_clip_tpu.core.config import EMOTIONS
+    from vlm_clip_tpu.data.rafdb import RAFDBDataset
+    from vlm_clip_tpu.data.tokenizer import HashTokenizer
+    from vlm_clip_tpu.vlm.extractor import StubContextExtractor
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "train"
+    n = 0
+    for emo in EMOTIONS[:3]:
+        d = root / emo
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (48, 48, 3),
+                                         dtype=np.uint8)).save(
+                d / f"{i}.jpg")
+            n += 1
+
+    out = tmp_path / "labels.jsonl"
+    gen_label.main(["--data-dir", str(root), "--out", str(out),
+                    "--vlm-backend", "stub", "--chunk", "4",
+                    "--image-size", "32", "--no-native",
+                    "--clip-model-name", "vit-base-patch32"])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(recs) == n
+    assert all(r["caption"] in StubContextExtractor._TEMPLATES
+               for r in recs)
+    assert {r["emotion"] for r in recs} == set(EMOTIONS[:3])
+
+    # consumable by the config-5 dataset route
+    ds = RAFDBDataset(str(tmp_path), "train", HashTokenizer(1000),
+                      image_size=32, captions_jsonl=str(out))
+    assert len(ds.captions) == n
+    item = ds[0]
+    assert item["caption"] in StubContextExtractor._TEMPLATES

@@ -26,6 +26,11 @@ def main(argv=None) -> None:
                    choices=["stub", "qwen"])
     p.add_argument("--qwen-weights", default=None)
     p.add_argument("--image-size", type=int, default=448)
+    p.add_argument("--chunk", type=int, default=64,
+                   help="decode + extract batch size")
+    p.add_argument("--no-native", action="store_true",
+                   help="per-image PIL decode instead of the threaded "
+                        "C++ batch decoder")
     args = p.parse_args(argv)
 
     from pathlib import Path
@@ -33,6 +38,7 @@ def main(argv=None) -> None:
     from vlm_clip_tpu.cli.common import load_backbone, make_tokenizer
     from vlm_clip_tpu.cli.main_v import make_extractor
     from vlm_clip_tpu.core.config import EMOTIONS
+    from vlm_clip_tpu.data import native_loader
     from vlm_clip_tpu.data.preprocess import load_and_resize
     from vlm_clip_tpu.data.rafdb import scan_class_folders
 
@@ -42,20 +48,49 @@ def main(argv=None) -> None:
                                tokenizer, qwen_weights=args.qwen_weights)
 
     samples = scan_class_folders(Path(args.data_dir))
+    use_native = not args.no_native and native_loader.native_available()
     n_ok = 0
     with open(args.out, "w") as f:
-        for i, (path, label) in enumerate(samples):
-            try:
-                img = load_and_resize(path, args.image_size)
-                caption = extractor.extract_context_from_image(img)
-            except Exception:
-                caption = None
-            rec = {"path": path, "emotion": EMOTIONS[label],
-                   "caption": caption}
-            f.write(json.dumps(rec) + "\n")
-            n_ok += caption is not None
-            if (i + 1) % 100 == 0:
-                print(f"  {i + 1}/{len(samples)} labeled")
+        # chunked: one threaded C++ decode + one batched extraction per
+        # chunk (the qwen backend's extract_contexts_batch is the
+        # measured 55.2k contexts/hour chunked-prefill path; per-image
+        # PIL + per-image extract was ~20x slower end-to-end)
+        for off in range(0, len(samples), args.chunk):
+            group = samples[off:off + args.chunk]
+            imgs = [None] * len(group)
+            if use_native:
+                batch, ok = native_loader.load_batch_native(
+                    [p for p, _ in group], args.image_size)
+                for j, good in enumerate(ok):
+                    if good:
+                        imgs[j] = batch[j]
+            else:
+                for j, (path, _) in enumerate(group):
+                    try:
+                        imgs[j] = load_and_resize(path, args.image_size)
+                    except Exception:
+                        imgs[j] = None
+            valid = [j for j, im in enumerate(imgs) if im is not None]
+            caps = [None] * len(group)
+            if valid:
+                try:
+                    got = extractor.extract_contexts_batch(
+                        [imgs[j] for j in valid]) \
+                        if hasattr(extractor, "extract_contexts_batch") \
+                        else [extractor.extract_context_from_image(
+                            imgs[j]) for j in valid]
+                    for j, c in zip(valid, got):
+                        caps[j] = c
+                except Exception:
+                    pass  # None-on-error contract (reference utils.py)
+            for (path, label), caption in zip(group, caps):
+                f.write(json.dumps({"path": path,
+                                    "emotion": EMOTIONS[label],
+                                    "caption": caption}) + "\n")
+                n_ok += caption is not None
+            done = off + len(group)
+            if done % 256 < args.chunk:
+                print(f"  {done}/{len(samples)} labeled", flush=True)
     print(f"wrote {len(samples)} records ({n_ok} with captions) "
           f"-> {args.out}")
 
