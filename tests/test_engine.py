@@ -535,3 +535,32 @@ def test_engine_stream_flag_composes_with_spec(fixture):
             got = eng.flush()
             outs[stream] = [got[r] for r in rids]
         assert outs[True] == outs[False], spec_k
+
+
+def test_engine_cancel_queued_and_live(fixture):
+    """cancel(): a queued request is dropped before install; a live
+    request frees its slot (refilled by the next queued request) and is
+    never reported by poll(); surviving requests keep exact one-shot
+    parity."""
+    cfg, params = fixture
+    ids, visions = _requests(cfg, 5, seed=71)
+    budgets = [9, 9, 6, 5, 4]
+    gen = QwenVLGenerator(params, cfg, max_len=96, dtype=jnp.float32)
+    want = [gen.generate_from_ids(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+
+    eng = ContinuousBatchingEngine(gen, n_slots=2, sync_steps=2,
+                                   refill_chunks=(2, 1))
+    rids = [eng.submit(ids, v, max_new_tokens=m)
+            for v, m in zip(visions, budgets)]
+    # rids[4] is still queued: cancelled before it ever installs
+    assert eng.cancel(rids[4])
+    got = eng.poll()          # first chunk: rids[0], rids[1] live
+    assert not got
+    assert eng.cancel(rids[1])     # live cancel frees slot 1
+    assert not eng.cancel(rids[1])  # idempotent: already gone
+    out = dict(got)
+    out.update(eng.flush())
+    assert rids[1] not in out and rids[4] not in out
+    for i in (0, 2, 3):
+        assert out[rids[i]] == want[i], i

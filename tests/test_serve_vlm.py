@@ -176,3 +176,49 @@ def test_streaming_generate(server):
     ids, vin = prep_fn(Image.open(io.BytesIO(body)), None)
     want = gen.generate_from_ids(ids, vin, max_new_tokens=7)
     assert got == want
+
+
+def test_stream_client_disconnect_cancels(server):
+    """A streaming client that drops mid-generation frees its slot:
+    the worker cancels the engine request (healthz total_cancelled
+    increments) and a subsequent request is served with exact parity."""
+    import time
+
+    from PIL import Image
+
+    srv, gen, prep_fn = server
+    body = _jpeg(9)
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                      timeout=300)
+    # long budget so the generation is mid-flight when we vanish
+    conn.request("POST", "/generate?max_new=60&stream=1", body=body)
+    r = conn.getresponse()
+    assert r.status == 200
+    r.read(16)     # receive a little, then drop the connection
+    # r.close() is what actually closes the socket: HTTPConnection.close
+    # alone leaves the response's buffered fp (and thus the fd) open, so
+    # the server would never see the FIN
+    r.close()
+    conn.close()
+
+    deadline = time.time() + 120
+    cancelled = 0
+    while time.time() < deadline:
+        c = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                       timeout=30)
+        c.request("GET", "/healthz")
+        out = json.loads(c.getresponse().read())
+        c.close()
+        cancelled = out["total_cancelled"]
+        if cancelled:
+            break
+        time.sleep(0.5)
+    assert cancelled >= 1
+
+    # the engine still serves exactly after the cancel
+    body2 = _jpeg(10)
+    status, out = _post(srv, "/generate?max_new=4", body2)
+    assert status == 200, out
+    ids, vin = prep_fn(Image.open(io.BytesIO(body2)), None)
+    assert out["tokens"] == gen.generate_from_ids(ids, vin,
+                                                  max_new_tokens=4)

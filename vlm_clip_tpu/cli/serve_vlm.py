@@ -79,11 +79,32 @@ class EngineWorker:
     def __init__(self, engine):
         self.engine = engine
         self.q: "queue.Queue[_Job]" = queue.Queue()
+        self.cancel_q: "queue.Queue[_Job]" = queue.Queue()
         self._by_rid = {}
         self.total_requests = 0
         self.total_tokens = 0
+        self.total_cancelled = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def cancel(self, job: _Job) -> None:
+        """Thread-safe cancellation request (client disconnected): the
+        engine thread performs the actual engine.cancel at its next
+        round (the engine is single-threaded by contract)."""
+        self.cancel_q.put(job)
+
+    def _drain_cancels(self):
+        while True:
+            try:
+                job = self.cancel_q.get_nowait()
+            except queue.Empty:
+                return
+            for rid, j in list(self._by_rid.items()):
+                if j is job:
+                    if self.engine.cancel(rid):
+                        self._by_rid.pop(rid, None)
+                        self.total_cancelled += 1
+                    break
 
     def submit(self, job: _Job, timeout: float = 300.0):
         self.q.put(job)
@@ -115,6 +136,7 @@ class EngineWorker:
     def _loop(self):
         while True:
             self._drain_queue()
+            self._drain_cancels()
             if not self.engine.pending:
                 try:
                     job = self.q.get(timeout=0.05)
@@ -170,7 +192,8 @@ def make_vlm_handler(worker: EngineWorker, prep_fn, tokenizer,
                 "status": "ok", "mode": mode,
                 "slots": eng.n_slots, "pending": eng.pending,
                 "total_requests": worker.total_requests,
-                "total_tokens": worker.total_tokens})
+                "total_tokens": worker.total_tokens,
+                "total_cancelled": worker.total_cancelled})
 
         def do_POST(self):
             from PIL import Image
@@ -222,22 +245,49 @@ def make_vlm_handler(worker: EngineWorker, prep_fn, tokenizer,
                     b"data: " + json.dumps(payload).encode() + b"\n\n")
                 self.wfile.flush()
 
-            while True:
+            def client_gone() -> bool:
+                """A closed client sends FIN; writes into a half-closed
+                socket succeed silently (kernel-buffered), so poll the
+                read side: readable + empty peek == disconnect. The
+                request body is already fully read, so any readability
+                here is EOF/RST."""
+                import select
+                import socket as _s
+
                 try:
-                    delta = job.stream_q.get(timeout=300)
-                except queue.Empty:
-                    emit({"done": True, "error": "generation timed out"})
+                    r_, _, _ = select.select([self.connection], [], [], 0)
+                    if r_:
+                        return self.connection.recv(
+                            1, _s.MSG_PEEK) == b""
+                except OSError:
+                    return True
+                return False
+
+            try:
+                while True:
+                    try:
+                        delta = job.stream_q.get(timeout=300)
+                    except queue.Empty:
+                        emit({"done": True,
+                              "error": "generation timed out"})
+                        return
+                    if delta is None:
+                        break
+                    if client_gone():
+                        worker.cancel(job)
+                        return
+                    emit({"tokens": delta})
+                if job.error:
+                    emit({"done": True, "error": job.error})
                     return
-                if delta is None:
-                    break
-                emit({"tokens": delta})
-            if job.error:
-                emit({"done": True, "error": job.error})
-                return
-            text = (tokenizer.decode(job.tokens).strip()
-                    if tokenizer is not None else None)
-            emit({"done": True, "tokens": job.tokens, "text": text,
-                  "ms": round((time.perf_counter() - t0) * 1e3, 1)})
+                text = (tokenizer.decode(job.tokens).strip()
+                        if tokenizer is not None else None)
+                emit({"done": True, "tokens": job.tokens, "text": text,
+                      "ms": round((time.perf_counter() - t0) * 1e3, 1)})
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-stream: free the slot instead of
+                # decoding tokens nobody will read
+                worker.cancel(job)
 
     return Handler
 

@@ -545,6 +545,34 @@ class ContinuousBatchingEngine:
         return {rid: len(self._slot_toks[s])
                 for s, rid in enumerate(self._slot_req) if rid is not None}
 
+    def cancel(self, rid: int) -> bool:
+        """Abort a request (serving-side client disconnect). Queued:
+        dropped before install. Live: the slot is freed for the next
+        refill and — when the slot state is process-local — its device
+        row is stopped at the next chunk's first step (done=True,
+        remaining=0; the same masked-garbage contract as a finished-but
+        -unharvested row). Under multi-process DP the device update is
+        skipped (a single-process eager op on a non-addressable array
+        would deadlock the other hosts): the row decodes garbage until
+        refilled or its budget drains — bounded, outputs discarded.
+        Returns True if the request was found; a cancelled request is
+        never reported by poll()."""
+        for p in self._queue:
+            if p.req_id == rid:
+                self._queue.remove(p)
+                return True
+        for s, r in enumerate(self._slot_req):
+            if r == rid:
+                self._slot_req[s] = None
+                self._slot_stream[s] = False
+                self._slot_toks[s] = []
+                self._remaining_host[s] = 0
+                if getattr(self.done, "is_fully_addressable", True):
+                    self.done = self.done.at[s].set(True)
+                    self.remaining = self.remaining.at[s].set(0)
+                return True
+        return False
+
     def partial_tokens(self, rid: int) -> Optional[List[int]]:
         """Copy of the harvested-so-far tokens of a LIVE request, or
         None when ``rid`` is not installed in a slot (still queued, or
