@@ -16,8 +16,11 @@ Endpoints:
   once harvested — engine.partial_tokens), then a terminal
   ``data: {"done": true, tokens, text, ms}``. The reference cannot
   stream at all (its ``generate()`` returns only at completion,
-  model_v.py:108-118).
-- ``GET  /healthz``   {status, slots, queued, mode}
+  model_v.py:108-118). A client that disconnects mid-stream has its
+  request CANCELLED (engine slot freed for the next refill) — detected
+  by write failure or a FIN on the read side.
+- ``GET  /healthz``   {status, slots, queued, mode, totals incl.
+  cancelled}
 
 Weights: ``--weights DIR`` (safetensors + tokenizer.json, the
 QwenVLContextExtractor contract). Without weights the server REFUSES to
